@@ -1,0 +1,199 @@
+"""Wavefront OBJ (+ MTL subset) importer.
+
+Reimplements the capability of the reference's `ObjImporter`
+(`code/app/src/importer/ObjImporter.cpp:1-421` in civilizwa/nrenderer):
+
+  - directives: `mtllib`, `usemtl`, `v`, `vt`, `vn`, `o`/`g`, `f`
+  - `f` variants: ``v``, ``v/t``, ``v//n``, ``v/t/n`` — triangulated faces only
+    (the reference raises "Only Triangulated mesh is supported!")
+  - per-object index remapping: global OBJ indices are compacted into
+    per-mesh position/uv/normal pools (reference `ObjImporter.cpp:192-196`)
+  - MTL subset: `newmtl`, `Kd`, `Ks`, `Ns`, `map_Kd` -> a Phong-typed material
+    (type=1, `ObjImporter.cpp:52-61`); unknown keys ignored
+
+All buffers land in the same Scene structures the `.scn` parser fills, so the
+two importers compose (reference `SceneImporterFactory`)."""
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..scene.model import (
+    Material, Mesh, Model, Node, NodeType, Property, PropertyType, Scene,
+    Texture,
+)
+from .image import load_image
+
+
+class ObjParseError(Exception):
+    pass
+
+
+def _parse_face_vertex(tok: str):
+    """Return (v, t, n) 1-based indices; absent -> -1. Mirrors the reference's
+    first/last '/' split (`ObjImporter.cpp:322-339`)."""
+    first = tok.find("/")
+    last = tok.rfind("/")
+    try:
+        if first == -1:
+            return int(tok), -1, -1
+        if first == last:
+            a, b = tok.split("/")
+            return int(a), int(b), -1
+        if first + 1 == last:
+            a, _, c = tok.split("/")
+            return int(a), -1, int(c)
+        a, b, c = tok.split("/")
+        return int(a), int(b), int(c)
+    except ValueError as exc:
+        raise ObjParseError(f"Bad face vertex: {tok!r}") from exc
+
+
+def _parse_mtl(scene: Scene, path: str, mtl_map: Dict[str, int]) -> None:
+    if not os.path.exists(path):
+        return  # reference silently skips a missing .mtl
+    current: Optional[Material] = None
+    with open(path, "r", encoding="utf-8", errors="replace") as f:
+        for line in f:
+            parts = line.split()
+            if not parts:
+                continue
+            key = parts[0].lower()
+            if key == "newmtl":
+                name = parts[1] if len(parts) > 1 else ""
+                current = Material(name=name, type=1)  # Phong
+                mtl_map[name] = len(scene.materials)
+                scene.materials.append(current)
+            elif current is None:
+                continue
+            elif key == "kd" and len(parts) >= 4:
+                current.register_property(Property(
+                    "diffuseColor", PropertyType.RGB,
+                    (float(parts[1]), float(parts[2]), float(parts[3]))))
+            elif key == "ks" and len(parts) >= 4:
+                current.register_property(Property(
+                    "specularColor", PropertyType.RGB,
+                    (float(parts[1]), float(parts[2]), float(parts[3]))))
+            elif key == "ns" and len(parts) >= 2:
+                current.register_property(Property(
+                    "specularEx", PropertyType.FLOAT, float(parts[1])))
+            elif key == "map_kd" and len(parts) >= 2:
+                tex_path = os.path.join(os.path.dirname(path), parts[-1])
+                pixels = load_image(tex_path)
+                if pixels is not None:
+                    tex_idx = len(scene.textures)
+                    scene.textures.append(
+                        Texture(name=os.path.basename(tex_path), pixels=pixels))
+                    current.register_property(Property(
+                        "diffuseMap", PropertyType.TEXTURE_ID, tex_idx))
+
+
+def load_obj(path: str, scene: Optional[Scene] = None,
+             material: Optional[int] = None) -> Scene:
+    """Import an OBJ file into `scene` (or a fresh Scene).
+
+    `material`: optional material index to assign when the OBJ has no
+    usemtl/mtllib (the stock bunnies have neither; the reference leaves the
+    mesh material handle invalid and the UI assigns one)."""
+    if scene is None:
+        scene = Scene()
+
+    positions: List[List[float]] = []
+    uvs: List[List[float]] = []
+    normals: List[List[float]] = []
+    mtl_map: Dict[str, int] = {}
+
+    model = Model(name=os.path.splitext(os.path.basename(path))[0])
+    model_idx = len(scene.models)
+    scene.models.append(model)
+
+    mesh: Optional[Mesh] = None
+    # staging pools for the current mesh
+    p_map: Dict[int, int] = {}
+    t_map: Dict[int, int] = {}
+    n_map: Dict[int, int] = {}
+    pool_p: List[List[float]] = []
+    pool_t: List[List[float]] = []
+    pool_n: List[List[float]] = []
+    idx_p: List[int] = []
+    idx_t: List[int] = []
+    idx_n: List[int] = []
+    mesh_name = "Undefined"
+    current_material = material if material is not None else -1
+
+    def flush_mesh():
+        nonlocal mesh
+        if mesh is None:
+            return
+        mesh.positions = np.asarray(pool_p, np.float32).reshape(-1, 3)
+        mesh.uvs = np.asarray(pool_t, np.float32).reshape(-1, 2)
+        mesh.normals = np.asarray(pool_n, np.float32).reshape(-1, 3)
+        mesh.position_indices = np.asarray(idx_p, np.int32)
+        mesh.uv_indices = np.asarray(idx_t, np.int32)
+        mesh.normal_indices = np.asarray(idx_n, np.int32)
+        mesh.material = current_material
+        mesh = None
+
+    def start_mesh():
+        nonlocal mesh
+        p_map.clear(); t_map.clear(); n_map.clear()
+        pool_p.clear(); pool_t.clear(); pool_n.clear()
+        idx_p.clear(); idx_t.clear(); idx_n.clear()
+        mesh = Mesh()
+        node = Node(name=mesh_name, type=NodeType.MESH,
+                    entity=len(scene.mesh_buffer), model=model_idx)
+        model.nodes.append(len(scene.nodes))
+        scene.nodes.append(node)
+        scene.mesh_buffer.append(mesh)
+
+    try:
+        with open(path, "r", encoding="utf-8", errors="replace") as f:
+            for line in f:
+                parts = line.split()
+                if not parts or parts[0].startswith("#"):
+                    continue
+                key = parts[0]
+                if key == "v":
+                    positions.append([float(x) for x in parts[1:4]])
+                elif key == "vt":
+                    uvs.append([float(x) for x in parts[1:3]])
+                elif key == "vn":
+                    normals.append([float(x) for x in parts[1:4]])
+                elif key in ("o", "g"):
+                    flush_mesh()
+                    mesh_name = parts[1] if len(parts) > 1 else "Undefined"
+                elif key == "mtllib" and len(parts) > 1:
+                    _parse_mtl(scene, os.path.join(os.path.dirname(path),
+                                                   parts[1]), mtl_map)
+                elif key == "usemtl" and len(parts) > 1:
+                    current_material = mtl_map.get(parts[1], current_material)
+                elif key == "f":
+                    if len(parts) != 4:
+                        raise ObjParseError(
+                            "Only Triangulated mesh is supported!")
+                    if mesh is None:
+                        start_mesh()
+                    for tok in parts[1:4]:
+                        v, t, n = _parse_face_vertex(tok)
+                        if v != -1:
+                            if v not in p_map:
+                                p_map[v] = len(pool_p)
+                                pool_p.append(positions[v - 1])
+                            idx_p.append(p_map[v])
+                        if t != -1:
+                            if t not in t_map:
+                                t_map[t] = len(pool_t)
+                                pool_t.append(uvs[t - 1])
+                            idx_t.append(t_map[t])
+                        if n != -1:
+                            if n not in n_map:
+                                n_map[n] = len(pool_n)
+                                pool_n.append(normals[n - 1])
+                            idx_n.append(n_map[n])
+    except OSError as exc:
+        raise ObjParseError(f"File does not exist: {path}") from exc
+
+    flush_mesh()
+    return scene
