@@ -1,0 +1,129 @@
+"""Command-line interface.
+
+The reference is a GUI app (GLFW+ImGui); the TPU-native rebuild is headless:
+
+    python -m nrenderer_tpu list-renderers
+    python -m nrenderer_tpu render --scene cornel.scn --renderer SimplePathTracer \
+        --spp 2048 --width 512 --height 512 --out out.png
+    python -m nrenderer_tpu render --scene x.scn --obj bunny.obj ...
+
+Render settings defaults mirror the UI's `RenderSettingsManager.hpp:20-24`
+(500x500, spp=16, depth=20); the camera defaults mirror `Camera.hpp:22-29`.
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+import time
+
+import numpy as np
+
+
+def _build_scene(args):
+    from .scene.model import AmbientType, Scene
+    from .io.scn import load_scn
+    from .io.obj import load_obj
+
+    scene = Scene()
+    if args.scene:
+        load_scn(args.scene, scene)
+    if args.obj:
+        for obj_path in args.obj:
+            load_obj(obj_path, scene,
+                     material=0 if scene.materials else None)
+    ro = scene.render_option
+    ro.width = args.width
+    ro.height = args.height
+    ro.depth = args.depth
+    ro.samples_per_pixel = args.spp
+    cam = scene.camera
+    if args.camera_position:
+        cam.position = tuple(args.camera_position)
+    if args.camera_look_at:
+        cam.look_at = tuple(args.camera_look_at)
+    if args.fov is not None:
+        cam.fov = args.fov
+    if args.aperture is not None:
+        cam.aperture = args.aperture
+    if args.ambient:
+        scene.ambient.constant = tuple(args.ambient)
+    if args.env_map:
+        from .io.image import load_image
+        from .scene.model import Texture
+        pixels = load_image(args.env_map)
+        if pixels is None:
+            raise SystemExit(f"cannot decode env map {args.env_map}")
+        scene.ambient.environment_map = len(scene.textures)
+        scene.textures.append(Texture(name=args.env_map, pixels=pixels))
+        scene.ambient.type = AmbientType.ENVIRONMENT_MAP
+    return scene
+
+
+def _cmd_render(args) -> int:
+    import nrenderer_tpu
+    nrenderer_tpu._register_builtin_renderers()
+    from .server.manager import ComponentManager
+    from .server.registry import get_server
+    from .io.image import write_png
+
+    scene = _build_scene(args)
+    mgr = ComponentManager()
+    t0 = time.perf_counter()
+    mgr.exec(args.renderer, scene)
+    result = mgr.wait()
+    wall = time.perf_counter() - t0
+    if result is None:
+        print("render failed", file=sys.stderr)
+        return 1
+    write_png(args.out, result.pixels)
+    n_rays = args.width * args.height * max(1, args.spp)
+    print(f"{args.renderer}: {args.width}x{args.height} spp={args.spp} "
+          f"depth={args.depth} in {wall:.2f}s "
+          f"({n_rays / wall / 1e6:.1f} Mpaths/s) -> {args.out}")
+    return 0
+
+
+def _cmd_list(args) -> int:
+    import nrenderer_tpu
+    nrenderer_tpu._register_builtin_renderers()
+    from .server.registry import get_server
+    for info in get_server().component_factory.get_components_info("Render"):
+        first = info.description.splitlines()[0] if info.description else ""
+        print(f"{info.id:40s} {first}")
+    return 0
+
+
+def main(argv=None) -> int:
+    logging.basicConfig(level=logging.INFO, format="%(levelname)s %(message)s")
+    p = argparse.ArgumentParser(prog="nrenderer_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pr = sub.add_parser("render", help="render a scene")
+    pr.add_argument("--scene", help=".scn scene file")
+    pr.add_argument("--obj", action="append", default=[],
+                    help="OBJ mesh file (repeatable)")
+    pr.add_argument("--renderer", default="SimplePathTracer")
+    pr.add_argument("--width", type=int, default=500)
+    pr.add_argument("--height", type=int, default=500)
+    pr.add_argument("--depth", type=int, default=20)
+    pr.add_argument("--spp", type=int, default=16)
+    pr.add_argument("--out", default="out.png")
+    pr.add_argument("--camera-position", nargs=3, type=float)
+    pr.add_argument("--camera-look-at", nargs=3, type=float)
+    pr.add_argument("--fov", type=float)
+    pr.add_argument("--aperture", type=float)
+    pr.add_argument("--ambient", nargs=3, type=float,
+                    help="constant ambient RGB")
+    pr.add_argument("--env-map", help="environment map image")
+    pr.set_defaults(fn=_cmd_render)
+
+    pl = sub.add_parser("list-renderers", help="list registered renderers")
+    pl.set_defaults(fn=_cmd_list)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
