@@ -67,6 +67,31 @@ def make_camera(camera: Camera, aspect: Optional[float] = None,
     )
 
 
+def shoot_v3(cam: CameraParams, s: jnp.ndarray, t: jnp.ndarray,
+             lens_uv=None):
+    """SoA ray generation: returns (origin V3, direction V3) of (N,) arrays.
+    `lens_uv`: optional (u, v) pair of (N,) unit-disk samples."""
+    from .soa import V3, normalize3
+    cx, cy, cz = [jnp.asarray(c) for c in
+                  (cam.position[0], cam.position[1], cam.position[2])]
+    if lens_uv is None:
+        ox = jnp.broadcast_to(cx, s.shape)
+        oy = jnp.broadcast_to(cy, s.shape)
+        oz = jnp.broadcast_to(cz, s.shape)
+    else:
+        lu, lv = lens_uv
+        rx = lu * cam.lens_radius
+        ry = lv * cam.lens_radius
+        ox = cx + rx * cam.u[0] + ry * cam.v[0]
+        oy = cy + rx * cam.u[1] + ry * cam.v[1]
+        oz = cz + rx * cam.u[2] + ry * cam.v[2]
+    dx = cam.lower_left[0] + s * cam.horizontal[0] + t * cam.vertical[0] - ox
+    dy = cam.lower_left[1] + s * cam.horizontal[1] + t * cam.vertical[1] - oy
+    dz = cam.lower_left[2] + s * cam.horizontal[2] + t * cam.vertical[2] - oz
+    d = normalize3(V3(dx, dy, dz))
+    return V3(ox, oy, oz), d
+
+
 def shoot(cam: CameraParams, s: jnp.ndarray, t: jnp.ndarray,
           lens_uv: Optional[jnp.ndarray] = None
           ) -> Tuple[jnp.ndarray, jnp.ndarray]:

@@ -1,4 +1,4 @@
-"""Batched ray-primitive intersection kernels.
+"""Batched ray-primitive intersection kernels (component-SoA layout).
 
 The math ports the *behavior* of the reference's per-plugin intersection
 routines (`simple_path_tracing/src/intersections/intersections.cpp:1-95`),
@@ -8,148 +8,476 @@ keeping the PT variants' epsilon and boundary conventions (SURVEY.md §2.8):
     det < 1e-6, `t >= tMin` acceptance, stored (unnormalized) normal returned
   - sphere: both quadratic roots tried in order, normal = (p-c)/r
   - plane: parallelogram patch via the precomputed inverse of [u, v, u x v]
-    (the reference inverts per ray; we precompute per plane), near-parallel
-    reject at |n.d| ~ 1e-7
+    (the reference inverts per ray; we precompute the two needed rows per
+    plane), near-parallel reject at |n.d| ~ 1e-7
   - area light: the plane test on (position, u, v) with normal cross(u, v)
 
-Instead of per-ray virtual calls, each kernel evaluates ALL primitives of a
-type for ALL rays at once — (N rays, P prims) broadcasting that XLA fuses and
-tiles for the VPU — then a masked argmin picks the closest hit across types.
-"""
+TPU-native design: all primitives of all types are evaluated for all rays as
+one (P_total, N) matrix — rays dense in the 128-lane minor axis, primitives on
+the sublane axis — followed by a one-hot argmin.  Attribute "gathers" are
+mask-reductions / tiny matmuls (`soa.select_prim`), not dynamic gathers.  The
+`closestHitObject` brute-force loops (`SimplePathTracer.cpp:104-129`) map to a
+single fused masked reduction."""
 from __future__ import annotations
 
 from typing import NamedTuple, Tuple
 
 import jax.numpy as jnp
 
-from ..scene.arrays import SceneArrays
-from .vecmath import cross, dot
+from ..scene.arrays import (
+    MAT_ABSORBED, MAT_ALBEDO, MAT_DIFFUSE, MAT_DIFFUSE_MAP, MAT_ETA_I,
+    MAT_ETA_R, MAT_F0, MAT_IOR, MAT_METALNESS, MAT_ROUGHNESS, MAT_SPECULAR,
+    MAT_SPECULAR_EX, SceneArrays,
+)
+from .soa import (
+    V3, cross3, dot3, one_hot_argmin, select_prim, select_prim3, splat,
+    where3,
+)
 
 FLOAT_INF = jnp.inf
-T_MIN_PT = 1e-6    # PT shadow/self-hit epsilon (`SimplePathTracer.cpp:108`)
+T_MIN_PT = 1e-6       # PT epsilon (`SimplePathTracer.cpp:108`)
 T_MIN_RAYCAST = 0.01  # ray_cast epsilon (`RayCastRenderer.cpp:70`)
 
 
-class HitRecord(NamedTuple):
-    """SoA hit record over a ray batch (reference `HitRecord.hpp:13-29`)."""
-    t: jnp.ndarray        # (N,) inf if miss
+class MatTable(NamedTuple):
+    """Material parameter table in SoA columns ((M,) each)."""
+    type: jnp.ndarray
+    diffuse: V3
+    specular: V3
+    specular_ex: jnp.ndarray
+    ior: jnp.ndarray
+    absorbed: V3
+    eta_r: V3
+    eta_i: V3
+    albedo: V3
+    roughness: jnp.ndarray
+    f0: jnp.ndarray
+    metalness: jnp.ndarray
+
+
+class SceneSoA(NamedTuple):
+    """Device-side SoA scene view derived from SceneArrays inside jit."""
+    # spheres
+    sph_pos: V3
+    sph_radius: jnp.ndarray
+    sph_valid: jnp.ndarray
+    # triangles
+    tri_v1: V3
+    tri_e1: V3
+    tri_e2: V3
+    tri_valid: jnp.ndarray
+    # planes
+    pln_pos: V3
+    pln_normal: V3
+    pln_inv0: V3       # row 0 of inv([u v uxv]) -> u coordinate
+    pln_inv1: V3       # row 1 -> v coordinate
+    pln_valid: jnp.ndarray
+    # combined static per-prim tables, order [spheres | triangles | planes]
+    prim_normal: V3    # zeros for sphere rows (computed from hit point)
+    prim_is_sphere: jnp.ndarray
+    prim_sph_pos: V3   # sphere center per row (zeros elsewhere)
+    prim_sph_inv_r: jnp.ndarray
+    mat_indicator: jnp.ndarray  # (M, P_total) float: prim -> material one-hot
+    # area lights
+    al_pos: V3
+    al_normal: V3
+    al_inv0: V3
+    al_inv1: V3
+    al_radiance: V3
+    al_valid: jnp.ndarray
+    # materials / ambient
+    mat: MatTable
+    ambient_type: jnp.ndarray
+    ambient_constant: V3
+    env_map: jnp.ndarray
+
+
+class HitSoA(NamedTuple):
+    t: jnp.ndarray        # (N,), +inf on miss
     valid: jnp.ndarray    # (N,) bool
-    point: jnp.ndarray    # (N, 3)
-    normal: jnp.ndarray   # (N, 3) — raw, NOT renormalized (PT convention)
-    mat: jnp.ndarray      # (N,) int32
+    point: V3             # (N,)
+    normal: V3            # (N,) raw, NOT renormalized (PT convention)
+    mat_oh: jnp.ndarray   # (M, N) float one-hot of the hit material
 
 
-def _sphere_ts(scene: SceneArrays, o: jnp.ndarray, d: jnp.ndarray,
-               t_min: float) -> jnp.ndarray:
-    """(N, S) hit distances, +inf on miss."""
-    oc = o[:, None, :] - scene.sph_pos[None, :, :]          # (N, S, 3)
-    a = dot(d, d)[:, None]                                  # (N, 1)
-    b = jnp.einsum("nsk,nk->ns", oc, d)                     # (N, S)
-    c = dot(oc, oc) - scene.sph_radius[None, :] ** 2        # (N, S)
+def make_scene_soa(scene: SceneArrays) -> SceneSoA:
+    """Trace-time conversion; XLA folds these slices into the kernel."""
+    sph_pos = splat(scene.sph_pos)
+    tri_v1 = splat(scene.tri_v1)
+    tri_e1 = splat(scene.tri_e1)
+    tri_e2 = splat(scene.tri_e2)
+    tri_n = splat(scene.tri_normal)
+    pln_pos = splat(scene.pln_pos)
+    pln_n = splat(scene.pln_normal)
+    pln_inv0 = splat(scene.pln_inv[:, 0, :])
+    pln_inv1 = splat(scene.pln_inv[:, 1, :])
+
+    s, t, p = scene.sph_valid.shape[0], scene.tri_valid.shape[0], \
+        scene.pln_valid.shape[0]
+    m = scene.mat_type.shape[0]
+    zeros_s = jnp.zeros((s,), scene.tri_normal.dtype)
+
+    def cat(*parts):
+        return jnp.concatenate(parts)
+
+    prim_normal = V3(cat(zeros_s, tri_n.x, pln_n.x),
+                     cat(zeros_s, tri_n.y, pln_n.y),
+                     cat(zeros_s, tri_n.z, pln_n.z))
+    prim_is_sphere = cat(jnp.ones((s,)), jnp.zeros((t,)), jnp.zeros((p,)))
+    zt = jnp.zeros((t + p,))
+    prim_sph_pos = V3(cat(sph_pos.x, zt), cat(sph_pos.y, zt),
+                      cat(sph_pos.z, zt))
+    prim_sph_inv_r = cat(1.0 / jnp.maximum(scene.sph_radius, 1e-20), zt)
+    prim_mat = cat(scene.sph_mat, scene.tri_mat, scene.pln_mat)
+    mat_indicator = (jnp.arange(m, dtype=jnp.int32)[:, None]
+                     == prim_mat[None, :]).astype(jnp.float32)
+
+    mp = scene.mat_params
+    mat = MatTable(
+        type=scene.mat_type,
+        diffuse=splat(mp[:, MAT_DIFFUSE]),
+        specular=splat(mp[:, MAT_SPECULAR]),
+        specular_ex=mp[:, MAT_SPECULAR_EX],
+        ior=mp[:, MAT_IOR],
+        absorbed=splat(mp[:, MAT_ABSORBED]),
+        eta_r=splat(mp[:, MAT_ETA_R]),
+        eta_i=splat(mp[:, MAT_ETA_I]),
+        albedo=splat(mp[:, MAT_ALBEDO]),
+        roughness=mp[:, MAT_ROUGHNESS],
+        f0=mp[:, MAT_F0],
+        metalness=mp[:, MAT_METALNESS],
+    )
+
+    return SceneSoA(
+        sph_pos=sph_pos, sph_radius=scene.sph_radius,
+        sph_valid=scene.sph_valid,
+        tri_v1=tri_v1, tri_e1=tri_e1, tri_e2=tri_e2,
+        tri_valid=scene.tri_valid,
+        pln_pos=pln_pos, pln_normal=pln_n, pln_inv0=pln_inv0,
+        pln_inv1=pln_inv1, pln_valid=scene.pln_valid,
+        prim_normal=prim_normal, prim_is_sphere=prim_is_sphere,
+        prim_sph_pos=prim_sph_pos, prim_sph_inv_r=prim_sph_inv_r,
+        mat_indicator=mat_indicator,
+        al_pos=splat(scene.al_pos), al_normal=splat(scene.al_normal),
+        al_inv0=splat(scene.al_inv[:, 0, :]),
+        al_inv1=splat(scene.al_inv[:, 1, :]),
+        al_radiance=splat(scene.al_radiance), al_valid=scene.al_valid,
+        mat=mat,
+        ambient_type=scene.ambient_type,
+        ambient_constant=splat(scene.ambient_constant),
+        env_map=scene.env_map,
+    )
+
+
+def _col(v: V3) -> V3:
+    """Lift per-prim (P,) components to (P, 1) for broadcasting against (N,)."""
+    return V3(v.x[:, None], v.y[:, None], v.z[:, None])
+
+
+def _sphere_ts(s: SceneSoA, o: V3, d: V3, t_min: float) -> jnp.ndarray:
+    """(S, N) hit distances, +inf on miss (`intersections.cpp:31-55`)."""
+    pos = _col(s.sph_pos)
+    oc = V3(o.x[None, :] - pos.x, o.y[None, :] - pos.y, o.z[None, :] - pos.z)
+    a = dot3(d, d)[None, :]
+    b = oc.x * d.x[None, :] + oc.y * d.y[None, :] + oc.z * d.z[None, :]
+    c = dot3(oc, oc) - (s.sph_radius ** 2)[:, None]
     disc = b * b - a * c
     sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-    t1 = (-b - sq) / a
-    t2 = (-b + sq) / a
-    ok = (disc > 0) & scene.sph_valid[None, :]
-    t1_ok = ok & (t1 >= t_min)
-    t2_ok = ok & (t2 >= t_min)
-    t = jnp.where(t1_ok, t1, jnp.where(t2_ok, t2, FLOAT_INF))
+    inv_a = 1.0 / a
+    t1 = (-b - sq) * inv_a
+    t2 = (-b + sq) * inv_a
+    ok = (disc > 0) & s.sph_valid[:, None]
+    t = jnp.where(ok & (t1 >= t_min), t1,
+                  jnp.where(ok & (t2 >= t_min), t2, FLOAT_INF))
     return t
 
 
-def _triangle_ts(scene: SceneArrays, o: jnp.ndarray, d: jnp.ndarray,
-                 t_min: float) -> jnp.ndarray:
-    """(N, T) hit distances (Möller-Trumbore, det-sign fold)."""
-    e1 = scene.tri_e1[None, :, :]                           # (1, T, 3)
-    e2 = scene.tri_e2[None, :, :]
-    p = cross(d[:, None, :], e2)                            # (N, T, 3)
-    det0 = dot(e1, p)                                       # (N, T)
+def _triangle_ts(s: SceneSoA, o: V3, d: V3, t_min: float) -> jnp.ndarray:
+    """(T, N) distances (Möller-Trumbore with det-sign fold,
+    `intersections.cpp:5-30`)."""
+    e1 = _col(s.tri_e1)
+    e2 = _col(s.tri_e2)
+    dn = V3(d.x[None, :], d.y[None, :], d.z[None, :])
+    p = cross3(dn, e2)                       # (T, N)
+    det0 = dot3(e1, p)
     sign = jnp.where(det0 > 0, 1.0, -1.0)
     det = det0 * sign
-    tvec = (o[:, None, :] - scene.tri_v1[None, :, :]) * sign[..., None]
-    u = dot(tvec, p)
-    q = cross(tvec, e1)
-    v = jnp.einsum("nk,ntk->nt", d, q)
-    w = dot(e2, q) / jnp.where(det == 0, 1.0, det)
+    v1 = _col(s.tri_v1)
+    tvec = V3((o.x[None, :] - v1.x) * sign, (o.y[None, :] - v1.y) * sign,
+              (o.z[None, :] - v1.z) * sign)
+    u = dot3(tvec, p)
+    q = cross3(tvec, e1)
+    v = dot3(dn, q)
+    w = dot3(e2, q) / jnp.where(det == 0, 1.0, det)
     ok = ((det >= 1e-6) & (u >= 0) & (u <= det) & (v >= 0) & (u + v <= det)
-          & (w >= t_min) & scene.tri_valid[None, :])
+          & (w >= t_min) & s.tri_valid[:, None])
     return jnp.where(ok, w, FLOAT_INF)
 
 
-def _patch_ts(pos: jnp.ndarray, normal: jnp.ndarray, inv: jnp.ndarray,
-              valid: jnp.ndarray, o: jnp.ndarray, d: jnp.ndarray,
-              t_min: float) -> jnp.ndarray:
-    """(N, P) distances for parallelogram patches (planes & area lights)."""
-    nd = jnp.einsum("nk,pk->np", d, normal)                 # (N, P)
-    # near-parallel reject (reference's asymmetric check, intersections.cpp:62)
+def _patch_ts(pos: V3, normal: V3, inv0: V3, inv1: V3, valid: jnp.ndarray,
+              o: V3, d: V3, t_min: float) -> jnp.ndarray:
+    """(P, N) distances for parallelogram patches (planes & area lights,
+    `intersections.cpp:56-92`)."""
+    pc = _col(pos)
+    nc = _col(normal)
+    nd = nc.x * d.x[None, :] + nc.y * d.y[None, :] + nc.z * d.z[None, :]
     parallel = (nd < 1e-7) & (nd > -1e-8)
-    num = dot(pos, normal)[None, :] - jnp.einsum("nk,pk->np", o, normal)
+    num = dot3(pos, normal)[:, None] - (
+        nc.x * o.x[None, :] + nc.y * o.y[None, :] + nc.z * o.z[None, :])
     t = num / jnp.where(parallel, 1.0, nd)
-    hit = o[:, None, :] + t[..., None] * d[:, None, :]      # (N, P, 3)
-    rel = hit - pos[None, :, :]
-    uv = jnp.einsum("pij,npj->npi", inv, rel)               # (N, P, 3)
-    u, v = uv[..., 0], uv[..., 1]
+    rel = V3(o.x[None, :] + t * d.x[None, :] - pc.x,
+             o.y[None, :] + t * d.y[None, :] - pc.y,
+             o.z[None, :] + t * d.z[None, :] - pc.z)
+    i0 = _col(inv0)
+    i1 = _col(inv1)
+    u = i0.x * rel.x + i0.y * rel.y + i0.z * rel.z
+    v = i1.x * rel.x + i1.y * rel.y + i1.z * rel.z
     ok = (~parallel & (t >= t_min) & (u >= 0) & (u <= 1) & (v >= 0) & (v <= 1)
-          & valid[None, :])
+          & valid[:, None])
     return jnp.where(ok, t, FLOAT_INF)
 
 
-def _take(arr: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
-    return jnp.take(arr, idx, axis=0, mode="clip")
+def intersect_scene(s: SceneSoA, o: V3, d: V3,
+                    t_min: float = T_MIN_PT) -> HitSoA:
+    """Closest hit against spheres + triangles + planes for a ray batch."""
+    ts = _sphere_ts(s, o, d, t_min)
+    tt = _triangle_ts(s, o, d, t_min)
+    tp = _patch_ts(s.pln_pos, s.pln_normal, s.pln_inv0, s.pln_inv1,
+                   s.pln_valid, o, d, t_min)
+    t_all = jnp.concatenate([ts, tt, tp], axis=0)      # (P_total, N)
+    t = jnp.min(t_all, axis=0)
+    valid = jnp.isfinite(t)
+    oh = one_hot_argmin(t_all) * valid[None, :].astype(t_all.dtype)
+
+    point = V3(o.x + t * d.x, o.y + t * d.y, o.z + t * d.z)
+
+    n_static = select_prim3(oh, s.prim_normal)
+    w_sph = select_prim(oh, s.prim_is_sphere)
+    c_sel = select_prim3(oh, s.prim_sph_pos)
+    inv_r = select_prim(oh, s.prim_sph_inv_r)
+    n_sph = V3((point.x - c_sel.x) * inv_r, (point.y - c_sel.y) * inv_r,
+               (point.z - c_sel.z) * inv_r)
+    normal = where3(w_sph > 0.5, n_sph, n_static)
+
+    mat_oh = s.mat_indicator @ oh                      # (M, N)
+    return HitSoA(t=t, valid=valid, point=point, normal=normal, mat_oh=mat_oh)
 
 
-def intersect_scene(scene: SceneArrays, o: jnp.ndarray, d: jnp.ndarray,
-                    t_min: float = T_MIN_PT,
-                    t_max: float = FLOAT_INF) -> HitRecord:
-    """Closest hit against spheres + triangles + planes for a ray batch.
-
-    Equivalent of `closestHitObject`'s brute-force loops
-    (`SimplePathTracer.cpp:104-129`), evaluated dense + masked."""
-    ts = _sphere_ts(scene, o, d, t_min)       # (N, S)
-    tt = _triangle_ts(scene, o, d, t_min)     # (N, T)
-    tp = _patch_ts(scene.pln_pos, scene.pln_normal, scene.pln_inv,
-                   scene.pln_valid, o, d, t_min)  # (N, P)
-
-    ts_min, ts_idx = jnp.min(ts, axis=1), jnp.argmin(ts, axis=1)
-    tt_min, tt_idx = jnp.min(tt, axis=1), jnp.argmin(tt, axis=1)
-    tp_min, tp_idx = jnp.min(tp, axis=1), jnp.argmin(tp, axis=1)
-
-    t3 = jnp.stack([ts_min, tt_min, tp_min], axis=1)        # (N, 3)
-    kind = jnp.argmin(t3, axis=1)                           # (N,)
-    t = jnp.min(t3, axis=1)
-    valid = t < t_max
-
-    point = o + t[..., None] * d
-
-    # sphere shading data
-    sph_pos = _take(scene.sph_pos, ts_idx)
-    sph_r = _take(scene.sph_radius, ts_idx)
-    n_sph = (point - sph_pos) / sph_r[..., None]
-    m_sph = _take(scene.sph_mat, ts_idx)
-    # triangle
-    n_tri = _take(scene.tri_normal, tt_idx)
-    m_tri = _take(scene.tri_mat, tt_idx)
-    # plane
-    n_pln = _take(scene.pln_normal, tp_idx)
-    m_pln = _take(scene.pln_mat, tp_idx)
-
-    is_sph = (kind == 0)[..., None]
-    is_tri = (kind == 1)[..., None]
-    normal = jnp.where(is_sph, n_sph, jnp.where(is_tri, n_tri, n_pln))
-    mat = jnp.where(kind == 0, m_sph, jnp.where(kind == 1, m_tri, m_pln))
-
-    return HitRecord(t=t, valid=valid, point=point, normal=normal,
-                     mat=mat.astype(jnp.int32))
-
-
-def intersect_area_lights(scene: SceneArrays, o: jnp.ndarray, d: jnp.ndarray,
+def intersect_area_lights(s: SceneSoA, o: V3, d: V3,
                           t_min: float = T_MIN_PT
-                          ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                          ) -> Tuple[jnp.ndarray, V3]:
     """`closestHitLight` (`SimplePathTracer.cpp:131-142`): nearest area-light
-    crossing.  Returns (t, radiance); t = +inf if none."""
-    ta = _patch_ts(scene.al_pos, scene.al_normal, scene.al_inv,
-                   scene.al_valid, o, d, t_min)             # (N, A)
-    t_minv, idx = jnp.min(ta, axis=1), jnp.argmin(ta, axis=1)
-    rad = _take(scene.al_radiance, idx)
-    rad = jnp.where(jnp.isfinite(t_minv)[..., None], rad, 0.0)
-    return t_minv, rad
+    crossing.  Returns (t, radiance V3); t = +inf if none."""
+    ta = _patch_ts(s.al_pos, s.al_normal, s.al_inv0, s.al_inv1, s.al_valid,
+                   o, d, t_min)
+    t = jnp.min(ta, axis=0)
+    ok = jnp.isfinite(t)
+    oh = one_hot_argmin(ta) * ok[None, :].astype(ta.dtype)
+    rad = select_prim3(oh, s.al_radiance)
+    return t, rad
+
+
+# ---------------------------------------------------------------------------
+# Unrolled variant: for small static prim counts, loop over primitives in
+# Python so XLA fuses the whole closest-hit into ONE elementwise kernel over
+# (N,) arrays — no (P, N) intermediates touch HBM.  Per-prim data are numpy
+# scalars baked into the kernel as constants.
+# ---------------------------------------------------------------------------
+
+class StaticScene(NamedTuple):
+    """Host-side (numpy) scene view for constant-folding into kernels."""
+    sph: list    # (cx, cy, cz, r, mat)
+    tri: list    # (v1, e1, e2, n, mat) tuples of np arrays
+    pln: list    # (pos, n, inv0, inv1, mat)
+    al: list     # (pos, n, inv0, inv1, radiance)
+    mats: list   # per-material dict of params (numpy)
+    ambient_type: int
+    ambient_constant: tuple
+    n_mats: int
+
+
+def make_static_scene(scene_arrays: SceneArrays) -> StaticScene:
+    import numpy as np
+    a = scene_arrays
+    f = lambda x: np.asarray(x)
+    sph = [(float(p[0]), float(p[1]), float(p[2]), float(r), int(m))
+           for p, r, m, v in zip(f(a.sph_pos), f(a.sph_radius), f(a.sph_mat),
+                                 f(a.sph_valid)) if v]
+    tri = [(f(v1), f(e1), f(e2), f(n), int(m))
+           for v1, e1, e2, n, m, v in zip(f(a.tri_v1), f(a.tri_e1),
+                                          f(a.tri_e2), f(a.tri_normal),
+                                          f(a.tri_mat), f(a.tri_valid)) if v]
+    pln = [(f(p), f(n), f(i)[0], f(i)[1], int(m))
+           for p, n, i, m, v in zip(f(a.pln_pos), f(a.pln_normal),
+                                    f(a.pln_inv), f(a.pln_mat),
+                                    f(a.pln_valid)) if v]
+    al = [(f(p), f(n), f(i)[0], f(i)[1], f(r))
+          for p, n, i, r, v in zip(f(a.al_pos), f(a.al_normal), f(a.al_inv),
+                                   f(a.al_radiance), f(a.al_valid)) if v]
+    mats = []
+    mp = f(a.mat_params)
+    for mi in range(mp.shape[0]):
+        mats.append({
+            "type": int(f(a.mat_type)[mi]),
+            "diffuse": mp[mi, MAT_DIFFUSE],
+            "specular": mp[mi, MAT_SPECULAR],
+            "specular_ex": float(mp[mi, MAT_SPECULAR_EX]),
+            "ior": float(mp[mi, MAT_IOR]),
+            "absorbed": mp[mi, MAT_ABSORBED],
+            "eta_r": mp[mi, MAT_ETA_R],
+            "eta_i": mp[mi, MAT_ETA_I],
+            "albedo": mp[mi, MAT_ALBEDO],
+            "roughness": float(mp[mi, MAT_ROUGHNESS]),
+            "f0": float(mp[mi, MAT_F0]),
+            "metalness": float(mp[mi, MAT_METALNESS]),
+        })
+    return StaticScene(sph=sph, tri=tri, pln=pln, al=al, mats=mats,
+                       ambient_type=int(a.ambient_type),
+                       ambient_constant=tuple(f(a.ambient_constant)),
+                       n_mats=mp.shape[0])
+
+
+class HitUnrolled(NamedTuple):
+    t: jnp.ndarray       # (N,), +inf on miss
+    valid: jnp.ndarray   # (N,) bool
+    point: V3
+    normal: V3
+    mat_id: jnp.ndarray  # (N,) float material id of the hit (0 if miss)
+    channels: tuple      # per-ray tracked material constants ((N,) each)
+
+
+def intersect_scene_unrolled(ss: StaticScene, o: V3, d: V3,
+                             t_min: float = T_MIN_PT,
+                             mat_channels=None) -> HitUnrolled:
+    """Closest hit with the primitive loop unrolled at trace time.
+
+    Running per-ray state: best t, best normal, and — instead of a material
+    index to gather with later — the material constants the caller actually
+    needs: `mat_channels` is a list over materials of k-tuples (e.g. the
+    albedo rgb), and the k running channels are updated with each prim's
+    constants during the masked-min scan.  Zero gathers, zero (P, N) arrays;
+    XLA fuses the entire loop into one elementwise kernel."""
+    inf = jnp.float32(jnp.inf)
+    n = o.x.shape[0]
+    k = len(mat_channels[0]) if mat_channels else 0
+    t_best = jnp.full((n,), inf)
+    nx = jnp.zeros((n,)); ny = jnp.zeros((n,)); nz = jnp.zeros((n,))
+    mid = jnp.zeros((n,))  # material id as float
+    chans = tuple(jnp.zeros((n,)) for _ in range(k))
+
+    def upd(hit_mask, t, nxx, nyy, nzz, m, state):
+        t_best, nx, ny, nz, mid, chans = state
+        closer = hit_mask & (t < t_best)
+        new_chans = tuple(
+            jnp.where(closer, float(mat_channels[m][i]), chans[i])
+            for i in range(k))
+        return (jnp.where(closer, t, t_best), jnp.where(closer, nxx, nx),
+                jnp.where(closer, nyy, ny), jnp.where(closer, nzz, nz),
+                jnp.where(closer, float(m), mid), new_chans)
+
+    state = (t_best, nx, ny, nz, mid, chans)
+
+    for (cx, cy, cz, r, m) in ss.sph:
+        ocx, ocy, ocz = o.x - cx, o.y - cy, o.z - cz
+        b = ocx * d.x + ocy * d.y + ocz * d.z
+        c = ocx * ocx + ocy * ocy + ocz * ocz - r * r
+        a = dot3(d, d)
+        disc = b * b - a * c
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        inv_a = 1.0 / a
+        t1 = (-b - sq) * inv_a
+        t2 = (-b + sq) * inv_a
+        ok = disc > 0
+        t = jnp.where(ok & (t1 >= t_min), t1,
+                      jnp.where(ok & (t2 >= t_min), t2, inf))
+        inv_r = 1.0 / r
+        px = o.x + t * d.x; py = o.y + t * d.y; pz = o.z + t * d.z
+        state = upd(jnp.isfinite(t), t, (px - cx) * inv_r, (py - cy) * inv_r,
+                    (pz - cz) * inv_r, m, state)
+
+    for (v1, e1, e2, nrm, m) in ss.tri:
+        # P = d x e2 (e2 constant -> linear in d)
+        px = d.y * e2[2] - d.z * e2[1]
+        py = d.z * e2[0] - d.x * e2[2]
+        pz = d.x * e2[1] - d.y * e2[0]
+        det0 = e1[0] * px + e1[1] * py + e1[2] * pz
+        sign = jnp.where(det0 > 0, 1.0, -1.0)
+        det = det0 * sign
+        tx = (o.x - v1[0]) * sign
+        ty = (o.y - v1[1]) * sign
+        tz = (o.z - v1[2]) * sign
+        u = tx * px + ty * py + tz * pz
+        qx = ty * e1[2] - tz * e1[1]
+        qy = tz * e1[0] - tx * e1[2]
+        qz = tx * e1[1] - ty * e1[0]
+        v = d.x * qx + d.y * qy + d.z * qz
+        w = (e2[0] * qx + e2[1] * qy + e2[2] * qz) / jnp.where(det == 0, 1.0,
+                                                              det)
+        ok = ((det >= 1e-6) & (u >= 0) & (u <= det) & (v >= 0)
+              & (u + v <= det) & (w >= t_min))
+        state = upd(ok, jnp.where(ok, w, inf), nrm[0], nrm[1], nrm[2], m,
+                    state)
+
+    for (pos, nrm, inv0, inv1, m) in ss.pln:
+        nd = nrm[0] * d.x + nrm[1] * d.y + nrm[2] * d.z
+        parallel = (nd < 1e-7) & (nd > -1e-8)
+        dp = float(np_dot(pos, nrm))
+        t = (dp - (nrm[0] * o.x + nrm[1] * o.y + nrm[2] * o.z)) / \
+            jnp.where(parallel, 1.0, nd)
+        rx = o.x + t * d.x - pos[0]
+        ry = o.y + t * d.y - pos[1]
+        rz = o.z + t * d.z - pos[2]
+        u = inv0[0] * rx + inv0[1] * ry + inv0[2] * rz
+        v = inv1[0] * rx + inv1[1] * ry + inv1[2] * rz
+        ok = (~parallel & (t >= t_min) & (u >= 0) & (u <= 1) & (v >= 0)
+              & (v <= 1))
+        state = upd(ok, jnp.where(ok, t, inf), nrm[0], nrm[1], nrm[2], m,
+                    state)
+
+    t_best, nx, ny, nz, mid, chans = state
+    valid = jnp.isfinite(t_best)
+    point = V3(o.x + t_best * d.x, o.y + t_best * d.y, o.z + t_best * d.z)
+    return HitUnrolled(t=t_best, valid=valid, point=point,
+                       normal=V3(nx, ny, nz), mat_id=mid, channels=chans)
+
+
+def intersect_area_lights_unrolled(ss: StaticScene, o: V3, d: V3,
+                                   t_min: float = T_MIN_PT):
+    """Unrolled `closestHitLight`; returns (t, radiance V3)."""
+    inf = jnp.float32(jnp.inf)
+    n = o.x.shape[0]
+    t_best = jnp.full((n,), inf)
+    rx = jnp.zeros((n,)); ry = jnp.zeros((n,)); rz = jnp.zeros((n,))
+    for (pos, nrm, inv0, inv1, rad) in ss.al:
+        nd = nrm[0] * d.x + nrm[1] * d.y + nrm[2] * d.z
+        parallel = (nd < 1e-7) & (nd > -1e-8)
+        dp = float(np_dot(pos, nrm))
+        t = (dp - (nrm[0] * o.x + nrm[1] * o.y + nrm[2] * o.z)) / \
+            jnp.where(parallel, 1.0, nd)
+        hx = o.x + t * d.x - pos[0]
+        hy = o.y + t * d.y - pos[1]
+        hz = o.z + t * d.z - pos[2]
+        u = inv0[0] * hx + inv0[1] * hy + inv0[2] * hz
+        v = inv1[0] * hx + inv1[1] * hy + inv1[2] * hz
+        ok = (~parallel & (t >= t_min) & (u >= 0) & (u <= 1) & (v >= 0)
+              & (v <= 1))
+        closer = ok & (t < t_best)
+        t_best = jnp.where(closer, t, t_best)
+        rx = jnp.where(closer, float(rad[0]), rx)
+        ry = jnp.where(closer, float(rad[1]), ry)
+        rz = jnp.where(closer, float(rad[2]), rz)
+    return t_best, V3(rx, ry, rz)
+
+
+def np_dot(a, b) -> float:
+    return float(a[0] * b[0] + a[1] * b[1] + a[2] * b[2])
+
+
+def select_mat(mat_oh: jnp.ndarray, col: jnp.ndarray) -> jnp.ndarray:
+    """(M, N) one-hot x (M,) material column -> (N,) values."""
+    return jnp.sum(mat_oh * col[:, None], axis=0)
+
+
+def select_mat3(mat_oh: jnp.ndarray, col: V3) -> V3:
+    return V3(select_mat(mat_oh, col.x), select_mat(mat_oh, col.y),
+              select_mat(mat_oh, col.z))

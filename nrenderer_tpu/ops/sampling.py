@@ -17,6 +17,7 @@ Distributions mirror the reference samplers:
 """
 from __future__ import annotations
 
+import os
 from typing import Tuple
 
 import jax
@@ -25,6 +26,21 @@ import jax.numpy as jnp
 from .vecmath import cross, dot, normalize
 
 PI = jnp.pi
+
+
+def make_base_key(seed: int, impl: str = None):
+    """Base PRNG key for a render.
+
+    Default impl is `rbg` (XLA RngBitGenerator — a hardware RNG instruction
+    on TPU, far cheaper per sample than threefry's ~20 ALU ops).  Override
+    with NR_PRNG=threefry2x32 for the counter-based reference-quality stream;
+    rendering only needs statistical quality, and every (pixel, sample,
+    bounce) still gets an independent folded stream either way."""
+    impl = impl or os.environ.get("NR_PRNG", "rbg")
+    try:
+        return jax.random.key(seed, impl=impl)
+    except Exception:
+        return jax.random.PRNGKey(seed)
 
 
 def uniform_square(key, shape=()) -> jnp.ndarray:
@@ -71,6 +87,54 @@ def cosine_hemisphere(key, shape=()) -> jnp.ndarray:
     phi = 2.0 * PI * e2
     z = jnp.sqrt(jnp.maximum(0.0, 1.0 - e1))
     return jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi), z], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Component-SoA variants (hot-path layout; see ops/soa.py)
+# ---------------------------------------------------------------------------
+
+def hemisphere_v3(key, shape=()) -> "V3":
+    """V3 of uniform hemisphere samples about +z; pdf = 1/(2 pi)."""
+    from .soa import V3
+    k1, k2 = jax.random.split(key)
+    e1 = jax.random.uniform(k1, shape)
+    e2 = jax.random.uniform(k2, shape)
+    r = jnp.sqrt(jnp.maximum(0.0, 1.0 - e1 * e1))
+    phi = 2.0 * PI * e2
+    return V3(jnp.cos(phi) * r, jnp.sin(phi) * r, e1)
+
+
+def cosine_hemisphere_v3(key, shape=()) -> "V3":
+    """V3 cosine-weighted samples about +z; pdf = cos/pi."""
+    from .soa import V3
+    k1, k2 = jax.random.split(key)
+    e1 = jax.random.uniform(k1, shape)
+    e2 = jax.random.uniform(k2, shape)
+    r = jnp.sqrt(e1)
+    phi = 2.0 * PI * e2
+    return V3(r * jnp.cos(phi), r * jnp.sin(phi),
+              jnp.sqrt(jnp.maximum(0.0, 1.0 - e1)))
+
+
+def onb_v3(normal):
+    """SoA orthonormal basis matching the reference Onb (`Onb.hpp:17-27`)."""
+    from .soa import V3, cross3, normalize3
+    w = normal
+    big_x = jnp.abs(w.x) > 0.9
+    a = V3(jnp.where(big_x, 0.0, 1.0), jnp.where(big_x, 1.0, 0.0),
+           jnp.zeros_like(w.x))
+    v = normalize3(cross3(w, a))
+    u = cross3(w, v)
+    return u, v, w
+
+
+def onb_local_v3(normal, vec):
+    """`Onb::local`: vec.x*u + vec.y*v + vec.z*w in SoA form."""
+    from .soa import V3
+    u, v, w = onb_v3(normal)
+    return V3(vec.x * u.x + vec.y * v.x + vec.z * w.x,
+              vec.x * u.y + vec.y * v.y + vec.z * w.y,
+              vec.x * u.z + vec.y * v.z + vec.z * w.z)
 
 
 def onb(normal: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:

@@ -6,9 +6,10 @@ epsilon 0.01, Phong/Lambert shading by material type {0: Lambertian,
 1: Phong} (`ray_cast/include/shaders/ShaderCreator.hpp:15-30`), clamp +
 sqrt gamma, and the bottom-up pixel write folded into a final flip.
 
-TPU-native design: the whole image is ONE jitted batch — primary rays, the
-dense closest-hit, the shadow-ray pass, and branchless material shading all
-evaluate as (H*W)-wide SoA ops; there is no per-pixel loop."""
+TPU-native design: the whole image is ONE jitted batch in component-SoA
+layout (ops/soa.py) — primary rays, the dense closest-hit, the shadow-ray
+pass, and branchless material shading all evaluate as (H*W)-wide ops on
+(8,128) vector tiles; there is no per-pixel loop."""
 from __future__ import annotations
 
 from functools import partial
@@ -17,59 +18,66 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.camera import CameraParams, make_camera, shoot
-from ..ops.intersect import T_MIN_RAYCAST, intersect_scene
-from ..ops.vecmath import dot, normalize, reflect
-from ..scene.arrays import (
-    MAT_DIFFUSE, MAT_SPECULAR, MAT_SPECULAR_EX, SceneArrays,
-    build_scene_arrays,
+from ..ops.camera import CameraParams, make_camera, shoot_v3
+from ..ops.intersect import (
+    T_MIN_RAYCAST, intersect_scene, make_scene_soa, select_mat, select_mat3,
 )
+from ..ops.soa import V3, dot3, normalize3, reflect3, to_array, where3
+from ..scene.arrays import SceneArrays, build_scene_arrays
 from ..scene.model import Scene
 from ..server.component import RenderComponent, RenderResult
 from ..server.registry import register_renderer
 
 
 @partial(jax.jit, static_argnums=(2, 3))
-def render_raycast(scene: SceneArrays, cam: CameraParams,
+def render_raycast(scene_arrays: SceneArrays, cam: CameraParams,
                    width: int, height: int) -> jnp.ndarray:
     """Returns an (H, W, 3) image, row 0 = BOTTOM (caller flips)."""
-    jj, ii = jnp.meshgrid(jnp.arange(width, dtype=jnp.float32),
-                          jnp.arange(height, dtype=jnp.float32))
-    s = (jj / width).reshape(-1)
-    t = (ii / height).reshape(-1)
-    o, d = shoot(cam, s, t)
+    scene = make_scene_soa(scene_arrays)
+    jj = jnp.tile(jnp.arange(width, dtype=jnp.float32), (height,))
+    ii = jnp.repeat(jnp.arange(height, dtype=jnp.float32), width)
+    o, d = shoot_v3(cam, jj / width, ii / height)
 
     hit = intersect_scene(scene, o, d, t_min=T_MIN_RAYCAST)
 
-    light_pos = scene.pl_pos[0]
-    light_int = scene.pl_intensity[0]
-    has_light = scene.pl_valid[0]
+    lp = scene_arrays.pl_pos[0]
+    light_pos = V3(lp[0], lp[1], lp[2])
+    li = scene_arrays.pl_intensity[0]
+    has_light = scene_arrays.pl_valid[0]
 
-    to_light = light_pos - hit.point
-    dist = jnp.sqrt(dot(to_light, to_light))
-    out = to_light / dist[..., None]
+    to_light = V3(light_pos.x - hit.point.x, light_pos.y - hit.point.y,
+                  light_pos.z - hit.point.z)
+    dist = jnp.sqrt(dot3(to_light, to_light))
+    out = V3(to_light.x / dist, to_light.y / dist, to_light.z / dist)
     # ray_cast normalizes normals in its intersections; do it at shading time
-    n = normalize(hit.normal, eps=1e-12)
-    facing = dot(out, n) > 0
+    n = normalize3(hit.normal, eps=1e-12)
+    facing = dot3(out, n) > 0
 
     shadow = intersect_scene(scene, hit.point, out, t_min=T_MIN_RAYCAST)
     lit = (~shadow.valid) | (shadow.t > dist)
 
-    # branchless material shading over the dense material table
-    params = jnp.take(scene.mat_params, hit.mat, axis=0, mode="clip")
-    mtype = jnp.take(scene.mat_type, hit.mat, axis=0, mode="clip")
-    diffuse = params[:, MAT_DIFFUSE] * dot(out, n)[..., None]
-    v = -d  # `in` direction of Phong::shade (`Phong.cpp:25-31`)
-    r = reflect(out, n)
-    spec = (params[:, MAT_SPECULAR]
-            * jnp.abs(dot(v, r) ** params[:, MAT_SPECULAR_EX])[..., None])
-    color = diffuse + jnp.where((mtype == 1)[..., None], spec, 0.0)
-    color = color * light_int
+    # branchless Phong/Lambert over the material table
+    mt = scene.mat
+    diffuse_c = select_mat3(hit.mat_oh, mt.diffuse)
+    specular_c = select_mat3(hit.mat_oh, mt.specular)
+    spec_ex = select_mat(hit.mat_oh, mt.specular_ex)
+    is_phong = select_mat(hit.mat_oh, (mt.type == 1).astype(jnp.float32))
+
+    cos_on = dot3(out, n)
+    r = reflect3(out, n)
+    vr = dot3(-d, r)
+    # |pow(v.r, ex)| (`Phong.cpp:29-30`); |v.r|^ex avoids the NaN that
+    # C++ pow(negative, fractional) would produce
+    spec_w = jnp.power(jnp.maximum(jnp.abs(vr), 1e-30), spec_ex)
+    color = V3(diffuse_c.x * cos_on + is_phong * specular_c.x * spec_w,
+               diffuse_c.y * cos_on + is_phong * specular_c.y * spec_w,
+               diffuse_c.z * cos_on + is_phong * specular_c.z * spec_w)
+    color = V3(color.x * li[0], color.y * li[1], color.z * li[2])
 
     ok = hit.valid & facing & lit & has_light
-    color = jnp.where(ok[..., None], color, 0.0)
-    color = jnp.sqrt(jnp.clip(color, 0.0, 1.0))  # clamp + gamma
-    return color.reshape(height, width, 3)
+    color = where3(ok, color, V3(*(jnp.zeros_like(color.x),) * 3))
+    color = V3(*(jnp.sqrt(jnp.clip(c, 0.0, 1.0)) for c in color))
+    return to_array(color).reshape(height, width, 3)
 
 
 @register_renderer("RayCast", description=(

@@ -1,1 +1,228 @@
-"""Placeholder: implemented in a later milestone."""
+"""SimplePathTracer: diffuse Monte Carlo path tracing as a wavefront megakernel.
+
+Rebuild of the simple_path_tracing plugin
+(`components/simple_path_tracing/src/SimplePathTracer.cpp`).  Estimator per
+bounce (`trace`, `SimplePathTracer.cpp:144-177`):
+
+    depth cap          -> ambient.constant
+    object before light-> Le + BRDF * Li * cos(n, wi) / pdf
+    area light hit     -> its radiance
+    miss               -> black (or env map if ambient type is ENVIRONMENT_MAP
+                          — a capability the reference declares but never
+                          implements; see ops/env.py)
+
+Lambertian sampling matches `shaders/Lambertian.cpp:15-46`: uniform hemisphere
+about the stored (unflipped) normal via the Onb, pdf = 1/(2 pi),
+BRDF = albedo / pi, so throughput *= 2 * albedo * cos.
+
+TPU-native design (vs the reference's 16 row-interleaved std::threads and
+bounded recursion):
+
+  - recursion -> `lax.scan` over the bounce index with component-SoA path
+    state ((N,) planes, see ops/soa.py) — no (N, 3) lane waste
+  - the scene's ~20 primitives are UNROLLED into the kernel as constants
+    (ops.intersect.intersect_scene_unrolled): the whole closest-hit +
+    area-light + Lambertian bounce compiles to ONE fused elementwise kernel;
+    no (P, N) intermediates, no gathers — the hit material's albedo is
+    tracked as running channels during the masked-min scan
+  - 16 threads -> one (H*W*C)-ray wavefront per scan step; an outer scan
+    walks spp chunks accumulating the film in f32
+  - thread_local time-seeded RNG -> counter-based PRNG folded per
+    (chunk, bounce), race-free and reproducible
+"""
+from __future__ import annotations
+
+import hashlib
+from typing import Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.camera import CameraParams, make_camera, shoot_v3
+from ..ops.env import sample_env_map_v3
+from ..ops.intersect import (
+    T_MIN_PT, StaticScene, intersect_area_lights_unrolled,
+    intersect_scene_unrolled, make_static_scene,
+)
+from ..ops.sampling import (
+    hemisphere_v3, make_base_key, onb_local_v3, uniform_circle,
+)
+from ..ops.soa import V3, dot3, normalize3, to_array, where3
+from ..scene.arrays import SceneArrays, build_scene_arrays
+from ..scene.model import Scene
+from ..server.component import RenderComponent, RenderResult
+from ..server.registry import get_server, register_renderer
+
+
+def trace_diffuse_wavefront(ss: StaticScene, o: V3, d: V3, key, depth: int,
+                            env_map=None) -> V3:
+    """Trace an (N,)-ray wavefront for `depth` diffuse bounces; returns V3
+    radiance.  `env_map` (traced (He,We,3) array) enables env-map misses."""
+    n = o.x.shape[0]
+    zeros = jnp.zeros((n,), o.x.dtype)
+    ones = jnp.ones((n,), o.x.dtype)
+    throughput = V3(ones, ones, ones)
+    radiance = V3(zeros, zeros, zeros)
+    alive = jnp.ones((n,), jnp.bool_)
+    albedo_ch = [tuple(m["diffuse"]) for m in ss.mats]
+
+    def bounce(carry, b):
+        o, d, throughput, radiance, alive = carry
+        kb = jax.random.fold_in(key, b)
+        hit = intersect_scene_unrolled(ss, o, d, t_min=T_MIN_PT,
+                                       mat_channels=albedo_ch)
+        t_l, light_rad = intersect_area_lights_unrolled(ss, o, d,
+                                                        t_min=T_MIN_PT)
+
+        obj_first = alive & hit.valid & (hit.t < t_l)
+        light_hit = alive & ~obj_first & jnp.isfinite(t_l)
+
+        lw = light_hit.astype(o.x.dtype)
+        radiance = V3(radiance.x + lw * throughput.x * light_rad.x,
+                      radiance.y + lw * throughput.y * light_rad.y,
+                      radiance.z + lw * throughput.z * light_rad.z)
+        if env_map is not None:
+            miss = alive & ~obj_first & ~light_hit
+            env = sample_env_map_v3(env_map, d)
+            ew = miss.astype(o.x.dtype)
+            radiance = V3(radiance.x + ew * throughput.x * env.x,
+                          radiance.y + ew * throughput.y * env.y,
+                          radiance.z + ew * throughput.z * env.z)
+
+        # diffuse bounce (uniform hemisphere about the stored normal)
+        ax, ay, az = hit.channels
+        local = hemisphere_v3(kb, (n,))
+        new_d = normalize3(onb_local_v3(hit.normal, local), eps=1e-20)
+        cos = dot3(hit.normal, new_d)
+        # attenuation * cos / pdf = (albedo/pi) * cos * 2pi = 2 albedo cos
+        scale = 2.0 * cos
+        throughput = V3(
+            throughput.x * jnp.where(obj_first, ax * scale, 1.0),
+            throughput.y * jnp.where(obj_first, ay * scale, 1.0),
+            throughput.z * jnp.where(obj_first, az * scale, 1.0))
+        o = where3(obj_first, hit.point, o)
+        d = where3(obj_first, new_d, d)
+        alive = obj_first
+        return (o, d, throughput, radiance, alive), None
+
+    (o, d, throughput, radiance, alive), _ = jax.lax.scan(
+        bounce, (o, d, throughput, radiance, alive),
+        jnp.arange(depth, dtype=jnp.int32))
+
+    # depth cap: surviving paths see the constant ambient (`trace` line 145)
+    if any(c != 0.0 for c in ss.ambient_constant):
+        aw = alive.astype(o.x.dtype)
+        radiance = V3(radiance.x + aw * throughput.x * ss.ambient_constant[0],
+                      radiance.y + aw * throughput.y * ss.ambient_constant[1],
+                      radiance.z + aw * throughput.z * ss.ambient_constant[2])
+    return radiance
+
+
+def build_render_fn(ss: StaticScene, width: int, height: int, spp: int,
+                    depth: int, chunk: int, has_lens: bool,
+                    use_env: bool) -> Callable:
+    """Compile a full-render function closed over the static scene.
+
+    Returns `fn(cam: CameraParams, env_map, key) -> (H, W, 3)` image
+    (row 0 = BOTTOM)."""
+    n_pix = width * height
+    n_rays = n_pix * chunk
+    n_steps = spp // chunk
+    jj = np.tile(np.tile(np.arange(width, dtype=np.float32), height), chunk)
+    ii = np.tile(np.repeat(np.arange(height, dtype=np.float32), width), chunk)
+
+    @jax.jit
+    def render(cam: CameraParams, env_map, key):
+        jjd = jnp.asarray(jj)
+        iid = jnp.asarray(ii)
+
+        def step(film, it):
+            k = jax.random.fold_in(key, it)
+            k_jx, k_jy, k_lens, k_path = jax.random.split(k, 4)
+            rx = jax.random.uniform(k_jx, (n_rays,), minval=-1.0, maxval=1.0)
+            ry = jax.random.uniform(k_jy, (n_rays,), minval=-1.0, maxval=1.0)
+            x = (jjd + rx) / width   # 2px-wide jitter, UniformInSquare
+            y = (iid + ry) / height
+            if has_lens:
+                lens = uniform_circle(k_lens, (n_rays,))
+                lens_uv = (lens[..., 0], lens[..., 1])
+            else:
+                lens_uv = None
+            o, d = shoot_v3(cam, x, y, lens_uv=lens_uv)
+            radiance = trace_diffuse_wavefront(
+                ss, o, d, k_path, depth,
+                env_map=env_map if use_env else None)
+            fx, fy, fz = film
+            fx = fx + radiance.x.reshape(chunk, n_pix).sum(axis=0)
+            fy = fy + radiance.y.reshape(chunk, n_pix).sum(axis=0)
+            fz = fz + radiance.z.reshape(chunk, n_pix).sum(axis=0)
+            return (fx, fy, fz), None
+
+        zeros = jnp.zeros((n_pix,), jnp.float32)
+        (fx, fy, fz), _ = jax.lax.scan(
+            step, (zeros, zeros, zeros), jnp.arange(n_steps, dtype=jnp.int32))
+        inv = 1.0 / float(spp)
+        color = V3(jnp.sqrt(jnp.maximum(fx * inv, 0.0)),
+                   jnp.sqrt(jnp.maximum(fy * inv, 0.0)),
+                   jnp.sqrt(jnp.maximum(fz * inv, 0.0)))  # sqrt gamma
+        return to_array(color).reshape(height, width, 3)
+
+    return render
+
+
+def pick_chunk(width: int, height: int, spp: int,
+               budget_rays: int = 1 << 21) -> int:
+    """Largest spp-divisor chunk keeping the wavefront under ~budget rays."""
+    n_pix = max(1, width * height)
+    best = 1
+    for c in range(1, spp + 1):
+        if spp % c == 0 and n_pix * c <= budget_rays:
+            best = c
+    return best
+
+
+def _fingerprint(ss: StaticScene, *shape_args) -> str:
+    h = hashlib.sha1(repr((ss, shape_args)).encode()).hexdigest()
+    return h
+
+
+_FN_CACHE: Dict[str, Callable] = {}
+
+
+def get_render_fn(ss: StaticScene, width, height, spp, depth, chunk,
+                  has_lens, use_env) -> Callable:
+    key = _fingerprint(ss, width, height, spp, depth, chunk, has_lens,
+                       use_env)
+    fn = _FN_CACHE.get(key)
+    if fn is None:
+        fn = build_render_fn(ss, width, height, spp, depth, chunk, has_lens,
+                             use_env)
+        _FN_CACHE[key] = fn
+    return fn
+
+
+@register_renderer("SimplePathTracer", description=(
+    "A simple path tracer.\n"
+    "Diffuse Monte Carlo path tracing as a single jitted wavefront."))
+class SimplePathTracerRenderer(RenderComponent):
+    def __init__(self, seed: int = 0):
+        self.seed = seed
+
+    def render(self, scene: Scene) -> RenderResult:
+        ro = scene.render_option
+        w, h, spp, depth = (ro.width, ro.height, ro.samples_per_pixel,
+                            ro.depth)
+        arrays = build_scene_arrays(scene)
+        ss = make_static_scene(arrays)
+        cam = make_camera(scene.camera)
+        chunk = pick_chunk(w, h, spp)
+        use_env = ss.ambient_type == 1
+        has_lens = scene.camera.aperture > 0
+        fn = get_render_fn(ss, w, h, spp, depth, chunk, has_lens, use_env)
+        img = fn(cam, arrays.env_map, make_base_key(self.seed))
+        img = np.asarray(img)[::-1]  # bottom-up -> row 0 top
+        img = np.clip(img, 0.0, 1.0)  # Screen.set clamp (`Screen.cpp:63`)
+        get_server().logger.log("Done...")
+        rgba = np.concatenate([img, np.ones((h, w, 1), np.float32)], axis=2)
+        return RenderResult(pixels=rgba, width=w, height=h)
