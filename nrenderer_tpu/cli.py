@@ -67,10 +67,26 @@ def _cmd_render(args) -> int:
     from .server.registry import get_server
     from .io.image import write_png
 
-    scene = _build_scene(args)
+    from .server.registry import UnknownComponentError
+    from .io.scn import ScnParseError
+    from .io.obj import ObjParseError
+
+    try:
+        scene = _build_scene(args)
+    except (ScnParseError, ObjParseError) as exc:
+        print(f"error: scene import failed: {exc}", file=sys.stderr)
+        return 2
     mgr = ComponentManager()
     t0 = time.perf_counter()
-    mgr.exec(args.renderer, scene)
+    try:
+        mgr.exec(args.renderer, scene)
+    except UnknownComponentError:
+        names = ", ".join(
+            i.name for i in
+            get_server().component_factory.get_components_info("Render"))
+        print(f"error: unknown renderer {args.renderer!r}; "
+              f"available: {names}", file=sys.stderr)
+        return 2
     result = mgr.wait()
     wall = time.perf_counter() - t0
     if result is None:

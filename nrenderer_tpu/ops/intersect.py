@@ -337,6 +337,41 @@ def make_static_scene(scene_arrays: SceneArrays) -> StaticScene:
                        n_mats=mp.shape[0])
 
 
+def _is_zero(v) -> bool:
+    return isinstance(v, (int, float)) and float(v) == 0.0
+
+
+def _lin3(c, x, y, z):
+    """Trace-time-folded linear combination c[0]*x + c[1]*y + c[2]*z where c
+    are Python floats: zero terms are dropped and unit factors skipped BEFORE
+    lowering (XLA/Mosaic don't fold 0*x for floats).  Axis-aligned planes and
+    axis-parallel edges — most of a Cornell box — cost 1 multiply instead
+    of 5 ops.  Operands may themselves be literal 0.0 (from an earlier fold).
+    """
+    terms = []
+    for cc, v in ((float(c[0]), x), (float(c[1]), y), (float(c[2]), z)):
+        if cc == 0.0 or _is_zero(v):
+            continue
+        terms.append(v if cc == 1.0 else cc * v)
+    if not terms:
+        return 0.0
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def _dota(pairs):
+    """Sum of a*b products with literal-zero operands folded away."""
+    terms = [a * b for a, b in pairs if not (_is_zero(a) or _is_zero(b))]
+    if not terms:
+        return 0.0
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
 class HitUnrolled(NamedTuple):
     t: jnp.ndarray       # (N,), +inf on miss
     valid: jnp.ndarray   # (N,) bool
@@ -356,14 +391,17 @@ def intersect_scene_unrolled(ss: StaticScene, o: V3, d: V3,
     needs: `mat_channels` is a list over materials of k-tuples (e.g. the
     albedo rgb), and the k running channels are updated with each prim's
     constants during the masked-min scan.  Zero gathers, zero (P, N) arrays;
-    XLA fuses the entire loop into one elementwise kernel."""
+    XLA fuses the entire loop into one elementwise kernel.
+
+    Shape-agnostic: works on (N,) wavefronts and on (SUB, 128) Pallas tiles
+    alike (ops/pt_pallas.py reuses this exact code inside the megakernel)."""
     inf = jnp.float32(jnp.inf)
-    n = o.x.shape[0]
     k = len(mat_channels[0]) if mat_channels else 0
-    t_best = jnp.full((n,), inf)
-    nx = jnp.zeros((n,)); ny = jnp.zeros((n,)); nz = jnp.zeros((n,))
-    mid = jnp.zeros((n,))  # material id as float
-    chans = tuple(jnp.zeros((n,)) for _ in range(k))
+    t_best = jnp.full_like(o.x, inf)
+    nx = jnp.zeros_like(o.x); ny = jnp.zeros_like(o.x)
+    nz = jnp.zeros_like(o.x)
+    mid = jnp.zeros_like(o.x)  # material id as float
+    chans = tuple(jnp.zeros_like(o.x) for _ in range(k))
 
     def upd(hit_mask, t, nxx, nyy, nzz, m, state):
         t_best, nx, ny, nz, mid, chans = state
@@ -396,39 +434,37 @@ def intersect_scene_unrolled(ss: StaticScene, o: V3, d: V3,
                     (pz - cz) * inv_r, m, state)
 
     for (v1, e1, e2, nrm, m) in ss.tri:
-        # P = d x e2 (e2 constant -> linear in d)
-        px = d.y * e2[2] - d.z * e2[1]
-        py = d.z * e2[0] - d.x * e2[2]
-        pz = d.x * e2[1] - d.y * e2[0]
-        det0 = e1[0] * px + e1[1] * py + e1[2] * pz
+        # P = d x e2 (e2 constant -> linear in d; zero terms trace-folded)
+        px = _lin3((0.0, e2[2], -e2[1]), d.x, d.y, d.z)
+        py = _lin3((-e2[2], 0.0, e2[0]), d.x, d.y, d.z)
+        pz = _lin3((e2[1], -e2[0], 0.0), d.x, d.y, d.z)
+        det0 = _lin3(e1, px, py, pz)
         sign = jnp.where(det0 > 0, 1.0, -1.0)
         det = det0 * sign
         tx = (o.x - v1[0]) * sign
         ty = (o.y - v1[1]) * sign
         tz = (o.z - v1[2]) * sign
-        u = tx * px + ty * py + tz * pz
-        qx = ty * e1[2] - tz * e1[1]
-        qy = tz * e1[0] - tx * e1[2]
-        qz = tx * e1[1] - ty * e1[0]
-        v = d.x * qx + d.y * qy + d.z * qz
-        w = (e2[0] * qx + e2[1] * qy + e2[2] * qz) / jnp.where(det == 0, 1.0,
-                                                              det)
+        u = _dota([(tx, px), (ty, py), (tz, pz)])
+        qx = _lin3((0.0, e1[2], -e1[1]), tx, ty, tz)
+        qy = _lin3((-e1[2], 0.0, e1[0]), tx, ty, tz)
+        qz = _lin3((e1[1], -e1[0], 0.0), tx, ty, tz)
+        v = _dota([(d.x, qx), (d.y, qy), (d.z, qz)])
+        w = _lin3(e2, qx, qy, qz) / jnp.where(det == 0, 1.0, det)
         ok = ((det >= 1e-6) & (u >= 0) & (u <= det) & (v >= 0)
               & (u + v <= det) & (w >= t_min))
         state = upd(ok, jnp.where(ok, w, inf), nrm[0], nrm[1], nrm[2], m,
                     state)
 
     for (pos, nrm, inv0, inv1, m) in ss.pln:
-        nd = nrm[0] * d.x + nrm[1] * d.y + nrm[2] * d.z
+        nd = _lin3(nrm, d.x, d.y, d.z)
         parallel = (nd < 1e-7) & (nd > -1e-8)
         dp = float(np_dot(pos, nrm))
-        t = (dp - (nrm[0] * o.x + nrm[1] * o.y + nrm[2] * o.z)) / \
-            jnp.where(parallel, 1.0, nd)
-        rx = o.x + t * d.x - pos[0]
-        ry = o.y + t * d.y - pos[1]
-        rz = o.z + t * d.z - pos[2]
-        u = inv0[0] * rx + inv0[1] * ry + inv0[2] * rz
-        v = inv1[0] * rx + inv1[1] * ry + inv1[2] * rz
+        t = (dp - _lin3(nrm, o.x, o.y, o.z)) / jnp.where(parallel, 1.0, nd)
+        rx = o.x + t * d.x - float(pos[0]) if pos[0] else o.x + t * d.x
+        ry = o.y + t * d.y - float(pos[1]) if pos[1] else o.y + t * d.y
+        rz = o.z + t * d.z - float(pos[2]) if pos[2] else o.z + t * d.z
+        u = _lin3(inv0, rx, ry, rz)
+        v = _lin3(inv1, rx, ry, rz)
         ok = (~parallel & (t >= t_min) & (u >= 0) & (u <= 1) & (v >= 0)
               & (v <= 1))
         state = upd(ok, jnp.where(ok, t, inf), nrm[0], nrm[1], nrm[2], m,
@@ -443,22 +479,22 @@ def intersect_scene_unrolled(ss: StaticScene, o: V3, d: V3,
 
 def intersect_area_lights_unrolled(ss: StaticScene, o: V3, d: V3,
                                    t_min: float = T_MIN_PT):
-    """Unrolled `closestHitLight`; returns (t, radiance V3)."""
+    """Unrolled `closestHitLight`; returns (t, radiance V3).  Shape-agnostic
+    like intersect_scene_unrolled."""
     inf = jnp.float32(jnp.inf)
-    n = o.x.shape[0]
-    t_best = jnp.full((n,), inf)
-    rx = jnp.zeros((n,)); ry = jnp.zeros((n,)); rz = jnp.zeros((n,))
+    t_best = jnp.full_like(o.x, inf)
+    rx = jnp.zeros_like(o.x); ry = jnp.zeros_like(o.x)
+    rz = jnp.zeros_like(o.x)
     for (pos, nrm, inv0, inv1, rad) in ss.al:
-        nd = nrm[0] * d.x + nrm[1] * d.y + nrm[2] * d.z
+        nd = _lin3(nrm, d.x, d.y, d.z)
         parallel = (nd < 1e-7) & (nd > -1e-8)
         dp = float(np_dot(pos, nrm))
-        t = (dp - (nrm[0] * o.x + nrm[1] * o.y + nrm[2] * o.z)) / \
-            jnp.where(parallel, 1.0, nd)
-        hx = o.x + t * d.x - pos[0]
-        hy = o.y + t * d.y - pos[1]
-        hz = o.z + t * d.z - pos[2]
-        u = inv0[0] * hx + inv0[1] * hy + inv0[2] * hz
-        v = inv1[0] * hx + inv1[1] * hy + inv1[2] * hz
+        t = (dp - _lin3(nrm, o.x, o.y, o.z)) / jnp.where(parallel, 1.0, nd)
+        hx = o.x + t * d.x - float(pos[0]) if pos[0] else o.x + t * d.x
+        hy = o.y + t * d.y - float(pos[1]) if pos[1] else o.y + t * d.y
+        hz = o.z + t * d.z - float(pos[2]) if pos[2] else o.z + t * d.z
+        u = _lin3(inv0, hx, hy, hz)
+        v = _lin3(inv1, hx, hy, hz)
         ok = (~parallel & (t >= t_min) & (u >= 0) & (u <= 1) & (v >= 0)
               & (v <= 1))
         closer = ok & (t < t_best)

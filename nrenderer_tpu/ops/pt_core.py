@@ -1,0 +1,320 @@
+"""Shared shape-agnostic path-tracing bounce body.
+
+One implementation of the reference's per-bounce estimator
+(`SimplePathTracer.cpp:144-177`) used by BOTH execution engines:
+
+  - the XLA wavefront (renderers/simple_pt.py): (N,) component arrays,
+    uniforms from jax.random
+  - the Pallas megakernel (ops/pt_pallas.py): (SUB, 128) VMEM tiles,
+    uniforms from the TPU hardware PRNG
+
+Everything here is pure jnp elementwise math over whatever shape the caller's
+V3 components carry."""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .intersect import (
+    StaticScene, intersect_area_lights_unrolled, intersect_scene_unrolled,
+)
+from .soa import V3, cross3, dot3, normalize3, where3
+
+PI = 3.14159265358979323846
+
+
+def uniform_from_bits(bits: jnp.ndarray) -> jnp.ndarray:
+    """uint32 random bits -> float32 uniforms in [0, 1): take the top 24 bits
+    (float32 mantissa width) and scale.  The shifted value has a zero sign
+    bit, so it is viewed as int32 before the float convert (Mosaic has no
+    uint32->f32 cast)."""
+    shifted = jax.lax.bitcast_convert_type(
+        bits >> jnp.uint32(8), jnp.int32)
+    return shifted.astype(jnp.float32) * jnp.float32(2 ** -24)
+
+
+def hemisphere_from_uv(u1: jnp.ndarray, u2: jnp.ndarray) -> V3:
+    """Uniform hemisphere about +z from two uniforms; pdf = 1/(2 pi).
+    Exactly the reference's map (`Hemisphere.hpp:25-32`)."""
+    r = jnp.sqrt(jnp.maximum(0.0, 1.0 - u1 * u1))
+    phi = 2.0 * PI * u2
+    return V3(jnp.cos(phi) * r, jnp.sin(phi) * r, u1)
+
+
+def onb_local(normal: V3, vec: V3) -> V3:
+    """Reference Onb (`Onb.hpp:17-27`) applied to `vec` (shape-agnostic)."""
+    w = normal
+    big_x = jnp.abs(w.x) > 0.9
+    a = V3(jnp.where(big_x, 0.0, 1.0), jnp.where(big_x, 1.0, 0.0),
+           jnp.zeros_like(w.x))
+    v = normalize3(cross3(w, a), eps=1e-20)
+    u = cross3(w, v)
+    return V3(vec.x * u.x + vec.y * v.x + vec.z * w.x,
+              vec.x * u.y + vec.y * v.y + vec.z * w.y,
+              vec.x * u.z + vec.y * v.z + vec.z * w.z)
+
+
+def diffuse_bounce(ss: StaticScene, albedo_ch, o: V3, d: V3, throughput: V3,
+                   radiance: V3, alive, u1, u2,
+                   t_min: float = 1e-6) -> Tuple[V3, V3, V3, V3, jnp.ndarray]:
+    """One bounce of the diffuse estimator; returns updated
+    (o, d, throughput, radiance, alive).
+
+    `u1, u2`: uniforms in [0,1) shaped like o.x (hemisphere sampling).
+    `alive`: boolean mask of rays still carrying throughput."""
+    hit = intersect_scene_unrolled(ss, o, d, t_min=t_min,
+                                   mat_channels=albedo_ch)
+    t_l, light_rad = intersect_area_lights_unrolled(ss, o, d, t_min=t_min)
+
+    obj_first = alive & hit.valid & (hit.t < t_l)
+    light_hit = alive & ~obj_first & (t_l < jnp.inf)
+
+    lw = light_hit.astype(o.x.dtype)
+    radiance = V3(radiance.x + lw * throughput.x * light_rad.x,
+                  radiance.y + lw * throughput.y * light_rad.y,
+                  radiance.z + lw * throughput.z * light_rad.z)
+
+    ax, ay, az = hit.channels
+    local = hemisphere_from_uv(u1, u2)
+    new_d = normalize3(onb_local(hit.normal, local), eps=1e-20)
+    cos = dot3(hit.normal, new_d)
+    # attenuation * cos / pdf = (albedo/pi) * cos * 2pi = 2 albedo cos
+    scale = 2.0 * cos
+    throughput = V3(throughput.x * jnp.where(obj_first, ax * scale, 1.0),
+                    throughput.y * jnp.where(obj_first, ay * scale, 1.0),
+                    throughput.z * jnp.where(obj_first, az * scale, 1.0))
+    o = where3(obj_first, hit.point, o)
+    d = where3(obj_first, new_d, d)
+    return o, d, throughput, radiance, obj_first
+
+
+# ---------------------------------------------------------------------------
+# AccPathTracer BSDFs (`acc_path_tracing/src/shaders/*`), shape-agnostic.
+# Material-type dispatch is branchless: all four lobes are evaluated and
+# blended by the per-ray type mask (the lanes are cheap; divergence is not).
+# ---------------------------------------------------------------------------
+
+def fresnel_conductor(cos_i, eta_r: V3, eta_i: V3) -> V3:
+    """Exact complex-IOR Fresnel, componentwise RGB
+    (`Conductor.cpp:12-33` / `Microfacet.cpp:34-59`)."""
+    cos2 = cos_i * cos_i
+    sin2 = 1.0 - cos2
+    sin4 = sin2 * sin2
+
+    def chan(er, ei):
+        temp1 = er * er - ei * ei - sin2
+        a2pb2 = jnp.sqrt(jnp.maximum(
+            temp1 * temp1 + 4.0 * ei * ei * er * er, 0.0))
+        a = jnp.sqrt(jnp.maximum(0.5 * (a2pb2 + temp1), 0.0))
+        t1 = a2pb2 + cos2
+        t2 = 2.0 * cos_i * a
+        t3 = a2pb2 * cos2 + sin4
+        t4 = t2 * sin2
+        r_s = (t1 - t2) / (t1 + t2)
+        r_p = r_s * (t3 - t4) / (t3 + t4)
+        return 0.5 * (r_s + r_p)
+
+    return V3(chan(eta_r.x, eta_i.x), chan(eta_r.y, eta_i.y),
+              chan(eta_r.z, eta_i.z))
+
+
+def conductor_scatter(d: V3, normal: V3, eta_r: V3, eta_i: V3, albedo: V3):
+    """Perfect mirror with complex Fresnel (`Conductor.cpp:6-42`).
+    Returns (L, attenuation V3)."""
+    n = normalize3(normal, eps=1e-20)
+    l = normalize3(reflect3_(d, n), eps=1e-20)
+    cos_l = jnp.abs(dot3(l, n))
+    f = fresnel_conductor(cos_l, eta_r, eta_i)
+    att = V3(f.x * cos_l * albedo.x, f.y * cos_l * albedo.y,
+             f.z * cos_l * albedo.z)
+    return l, att
+
+
+def reflect3_(d: V3, n: V3) -> V3:
+    k = 2.0 * dot3(d, n)
+    return V3(d.x - k * n.x, d.y - k * n.y, d.z - k * n.z)
+
+
+def glass_scatter(d: V3, normal: V3, ior, absorbed: V3, u_choice):
+    """Dielectric reflect/refract (`Glass.cpp:15-57`) with stochastic lobe
+    selection for the wavefront:
+
+    The reference recursively traces BOTH rays and sums
+    `reflex*F + refraction*(1-F)` (`AccPathTracer.cpp:152-160`).  Here one
+    lobe is chosen with probability F (the Schlick term); the chosen lobe's
+    weight divided by its probability makes the estimator's expectation
+    identical, at slightly higher variance, while keeping the wavefront
+    single-ray.  On total internal reflection we reflect with full weight
+    (the reference instead assigns the `absorbed` COLOR as the reflected
+    direction — `Glass.cpp:47-51` — a bug we do not reproduce).
+
+    The refraction direction reproduces the reference's (non-Snell)
+    construction: x = (1-|V.N|)/ior_rel along normalize(reflex+V), y along
+    -N.  Returns (L, weight V3)."""
+    n0 = normalize3(normal, eps=1e-20)
+    v = d  # the reference uses the (already unit) ray direction
+    vdotn0 = dot3(v, n0)
+    inside = vdotn0 > 0
+    n = where3(inside, -n0, n0)
+    ior_rel = jnp.where(inside, 1.0 / ior, ior)
+
+    reflex = normalize3(reflect3_(v, n), eps=1e-20)
+    n12 = (ior_rel - 1.0) / (ior_rel + 1.0)
+    f0 = n12 * n12
+    vdotn = jnp.abs(dot3(v, n))
+    one_m = 1.0 - vdotn
+    f = f0 + (1.0 - f0) * (one_m ** 5)
+
+    x_axis = normalize3(V3(reflex.x + v.x, reflex.y + v.y, reflex.z + v.z),
+                        eps=1e-20)
+    y_axis = -n
+    x_ = one_m / ior_rel
+    y_ = jnp.sqrt(jnp.maximum(1.0 - x_ * x_, 0.0))
+    refraction = normalize3(
+        V3(x_axis.x * x_ + y_axis.x * y_, x_axis.y * x_ + y_axis.y * y_,
+           x_axis.z * x_ + y_axis.z * y_), eps=1e-20)
+
+    tir = x_ > 1.0
+    choose_reflect = tir | (u_choice < f)
+    l = where3(choose_reflect, reflex, refraction)
+    # weight/probability cancels to `absorbed` for both lobes; TIR reflects
+    # with full weight
+    return l, absorbed
+
+
+def _smith_g1(v: V3, h: V3, n: V3, alpha2):
+    cos_vn = dot3(v, n)
+    bad = cos_vn * dot3(v, h) <= 0.0
+    cos2 = cos_vn * cos_vn
+    tan2 = (1.0 - cos2) / jnp.maximum(cos2, 1e-12)
+    g = 2.0 / (1.0 + jnp.sqrt(1.0 + alpha2 * tan2))
+    g = jnp.where(jnp.abs(cos_vn - 1.0) < 1e-7, 1.0, g)
+    return jnp.where(bad, 0.0, g)
+
+
+def microfacet_scatter(d: V3, normal: V3, albedo: V3, roughness, f0,
+                       metalness, u1, u2):
+    """GGX-style microfacet (`Microfacet.cpp:93-225`), with a real PRNG in
+    place of the reference's fixed-seed sampler (`Sampler`, seed 6 — noted in
+    SURVEY.md as a bug to fix).  Returns (L, attenuation V3).
+
+    The reference divides its attenuation (F G D)/(4 cos_o) by
+    pdf = D/|4 d.H|, so D cancels: attenuation = F G |d.H| / cos_o * albedo.
+    """
+    n = normalize3(normal, eps=1e-20)
+    alpha2 = roughness * roughness
+    phi = 2.0 * PI * u2
+    tan_theta2 = alpha2 * u1 / jnp.maximum(1.0 - u1, 1e-12)
+    cos_theta = 1.0 / jnp.sqrt(1.0 + tan_theta2)
+    sin_theta = jnp.sqrt(jnp.maximum(1.0 - cos_theta * cos_theta, 0.0))
+    local = V3(sin_theta * jnp.cos(phi), sin_theta * jnp.sin(phi), cos_theta)
+    h = normalize3(onb_local(n, local), eps=1e-20)
+
+    l = normalize3(reflect3_(d, h), eps=1e-20)
+    v = -d
+    cos_i = dot3(l, n)
+    valid = (dot3(d, n) < 0.0) & (cos_i > 0.0)
+
+    spec_f0 = V3((1.0 - metalness) * f0 + metalness * albedo.x,
+                 (1.0 - metalness) * f0 + metalness * albedo.y,
+                 (1.0 - metalness) * f0 + metalness * albedo.z)
+    ldoth = jnp.abs(dot3(l, h))
+    om = (1.0 - ldoth) ** 5
+    fr = V3(spec_f0.x + (1.0 - spec_f0.x) * om,
+            spec_f0.y + (1.0 - spec_f0.y) * om,
+            spec_f0.z + (1.0 - spec_f0.z) * om)
+    g = _smith_g1(l, h, n, alpha2) * _smith_g1(v, h, n, alpha2)
+    cos_o = jnp.abs(dot3(n, v))
+    w = jnp.where(valid, g * ldoth / jnp.maximum(cos_o, 1e-12), 0.0)
+    att = V3(fr.x * w * albedo.x, fr.y * w * albedo.y, fr.z * w * albedo.z)
+    return l, att
+
+
+def make_mat_channels(ss: StaticScene):
+    """Per-material constant tuples for the unrolled channel tracker:
+    (type, diffuse rgb, albedo rgb, ior, absorbed rgb, eta_r rgb, eta_i rgb,
+     roughness, f0, metalness) = 17 channels."""
+    ch = []
+    for m in ss.mats:
+        ch.append((float(m["type"]),)
+                  + tuple(float(x) for x in m["diffuse"])
+                  + tuple(float(x) for x in m["albedo"])
+                  + (float(m["ior"]),)
+                  + tuple(float(x) for x in m["absorbed"])
+                  + tuple(float(x) for x in m["eta_r"])
+                  + tuple(float(x) for x in m["eta_i"])
+                  + (float(m["roughness"]), float(m["f0"]),
+                     float(m["metalness"])))
+    return ch
+
+
+def bsdf_bounce(ss: StaticScene, mat_ch, o: V3, d: V3, throughput: V3,
+                radiance: V3, alive, u1, u2, u3,
+                t_min: float = 1e-6) -> Tuple[V3, V3, V3, V3, jnp.ndarray]:
+    """One bounce of the AccPathTracer estimator
+    (`AccPathTracer.cpp:120-181`): closest hit, light hit, then branchless
+    dispatch over material type {0 Lambertian, 1 conductor, 2 glass,
+    3 microfacet} (`acc/include/shaders/ShaderCreator.hpp:17-39`)."""
+    hit = intersect_scene_unrolled(ss, o, d, t_min=t_min,
+                                   mat_channels=mat_ch)
+    t_l, light_rad = intersect_area_lights_unrolled(ss, o, d, t_min=t_min)
+
+    obj_first = alive & hit.valid & (hit.t < t_l)
+    light_hit = alive & ~obj_first & (t_l < jnp.inf)
+
+    lw = light_hit.astype(o.x.dtype)
+    radiance = V3(radiance.x + lw * throughput.x * light_rad.x,
+                  radiance.y + lw * throughput.y * light_rad.y,
+                  radiance.z + lw * throughput.z * light_rad.z)
+
+    (mtype, dr, dg, db, ar, ag, ab_, ior, absr, absg, absb,
+     err, erg, erb, eir, eig, eib, rough, f0, metal) = hit.channels
+    diffuse = V3(dr, dg, db)
+    albedo = V3(ar, ag, ab_)
+    absorbed = V3(absr, absg, absb)
+    eta_r = V3(err, erg, erb)
+    eta_i = V3(eir, eig, eib)
+
+    # Lambertian lobe
+    local = hemisphere_from_uv(u1, u2)
+    d_diff = normalize3(onb_local(hit.normal, local), eps=1e-20)
+    cos = dot3(hit.normal, d_diff)
+    w_diff = V3(diffuse.x * 2.0 * cos, diffuse.y * 2.0 * cos,
+                diffuse.z * 2.0 * cos)
+    # conductor lobe
+    d_cond, w_cond = conductor_scatter(d, hit.normal, eta_r, eta_i, albedo)
+    # glass lobe
+    d_glass, w_glass = glass_scatter(d, hit.normal, ior, absorbed, u3)
+    # microfacet lobe
+    d_micro, w_micro = microfacet_scatter(d, hit.normal, albedo, rough, f0,
+                                          metal, u1, u2)
+
+    is0 = mtype < 0.5
+    is1 = (mtype >= 0.5) & (mtype < 1.5)
+    is2 = (mtype >= 1.5) & (mtype < 2.5)
+    new_d = where3(is0, d_diff,
+                   where3(is1, d_cond, where3(is2, d_glass, d_micro)))
+    w = where3(is0, w_diff,
+               where3(is1, w_cond, where3(is2, w_glass, w_micro)))
+
+    throughput = V3(throughput.x * jnp.where(obj_first, w.x, 1.0),
+                    throughput.y * jnp.where(obj_first, w.y, 1.0),
+                    throughput.z * jnp.where(obj_first, w.z, 1.0))
+    o = where3(obj_first, hit.point, o)
+    d = where3(obj_first, new_d, d)
+    return o, d, throughput, radiance, obj_first
+
+
+def finish_ambient(ss: StaticScene, throughput: V3, radiance: V3,
+                   alive) -> V3:
+    """Depth-cap contribution: surviving paths see ambient.constant
+    (`trace` line 145)."""
+    if any(c != 0.0 for c in ss.ambient_constant):
+        aw = alive.astype(radiance.x.dtype)
+        radiance = V3(
+            radiance.x + aw * throughput.x * float(ss.ambient_constant[0]),
+            radiance.y + aw * throughput.y * float(ss.ambient_constant[1]),
+            radiance.z + aw * throughput.z * float(ss.ambient_constant[2]))
+    return radiance

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from typing import NamedTuple, Union
 
+import jax
 import jax.numpy as jnp
 
 Scalar = Union[float, jnp.ndarray]
@@ -93,10 +94,12 @@ def norm3(a: V3) -> jnp.ndarray:
 
 
 def normalize3(a: V3, eps: float = 0.0) -> V3:
-    n = norm3(a)
+    n2 = dot3(a, a)
     if eps:
-        n = jnp.maximum(n, eps)
-    inv = 1.0 / n
+        # floor inside the f32 NORMAL range: eps^2 can be subnormal, which
+        # TPUs flush to zero -> rsqrt(0)=inf -> NaN
+        n2 = jnp.maximum(n2, max(eps * eps, 1.2e-38))
+    inv = jax.lax.rsqrt(n2)
     return V3(a.x * inv, a.y * inv, a.z * inv)
 
 

@@ -1,1 +1,174 @@
-"""Placeholder: implemented in a later milestone."""
+"""AccPathTracer: multi-BSDF path tracing (Lambertian/conductor/glass/GGX).
+
+Rebuild of the acc_path_tracing plugin (`components/acc_path_tracing/`):
+the same estimator as SimplePathTracer but with material-type dispatch
+{0 Lambertian, 1 smooth conductor, 2 dielectric glass, 3 microfacet}
+(`AccPathTracer.cpp:120-181`, `acc/include/shaders/ShaderCreator.hpp:17-39`)
+and acceleration for mesh-heavy scenes.
+
+TPU-native design:
+  - the reference's per-hit virtual `Shader::shade` becomes a branchless
+    4-lobe blend over tracked material channels (ops/pt_core.bsdf_bounce);
+    on a vector machine evaluating all four lobes and masking beats
+    divergent control flow
+  - the reference's pointer BVH + recursive traversal
+    (`acc/include/BVH.hpp:93-155`) is replaced by: (a) the same unrolled
+    constant-folded brute force for small scenes — at Cornell sizes the
+    brute force is faster than any tree on a vector unit — and (b) a
+    flattened escape-index BVH walk for large triangle pools (ops/bvh.py)
+  - glass's two-ray recursion becomes stochastic single-lobe selection with
+    identical expectation (pt_core.glass_scatter docstring)
+"""
+from __future__ import annotations
+
+import hashlib
+from typing import Callable, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.camera import CameraParams, make_camera, shoot_v3
+from ..ops.env import sample_env_map_v3
+from ..ops.intersect import (
+    T_MIN_PT, StaticScene, intersect_area_lights_unrolled,
+    intersect_scene_unrolled, make_static_scene,
+)
+from ..ops.pt_core import bsdf_bounce, finish_ambient, make_mat_channels
+from ..ops.sampling import make_base_key, uniform_circle
+from ..ops.soa import V3, to_array
+from ..scene.arrays import SceneArrays, build_scene_arrays
+from ..scene.model import Scene
+from ..server.component import RenderComponent, RenderResult
+from ..server.registry import get_server, register_renderer
+from .simple_pt import pick_chunk
+
+
+def trace_bsdf_wavefront(ss: StaticScene, o: V3, d: V3, key, depth: int,
+                         env_map=None) -> V3:
+    """(N,)-ray wavefront with the 4-BSDF dispatch; returns V3 radiance."""
+    n = o.x.shape[0]
+    zeros = jnp.zeros((n,), o.x.dtype)
+    ones = jnp.ones((n,), o.x.dtype)
+    throughput = V3(ones, ones, ones)
+    radiance = V3(zeros, zeros, zeros)
+    alive = jnp.ones((n,), jnp.bool_)
+    mat_ch = make_mat_channels(ss)
+
+    def bounce(carry, b):
+        o, d, throughput, radiance, alive = carry
+        kb = jax.random.fold_in(key, b)
+        k1, k2, k3 = jax.random.split(kb, 3)
+        if env_map is not None:
+            hit_pre = intersect_scene_unrolled(ss, o, d, t_min=T_MIN_PT)
+            t_l_pre, _ = intersect_area_lights_unrolled(ss, o, d,
+                                                        t_min=T_MIN_PT)
+            miss = (alive & ~(hit_pre.valid & (hit_pre.t < t_l_pre))
+                    & ~jnp.isfinite(t_l_pre))
+            env = sample_env_map_v3(env_map, d)
+            ew = miss.astype(o.x.dtype)
+            radiance = V3(radiance.x + ew * throughput.x * env.x,
+                          radiance.y + ew * throughput.y * env.y,
+                          radiance.z + ew * throughput.z * env.z)
+        u1 = jax.random.uniform(k1, (n,))
+        u2 = jax.random.uniform(k2, (n,))
+        u3 = jax.random.uniform(k3, (n,))
+        o, d, throughput, radiance, alive = bsdf_bounce(
+            ss, mat_ch, o, d, throughput, radiance, alive, u1, u2, u3,
+            t_min=T_MIN_PT)
+        return (o, d, throughput, radiance, alive), None
+
+    (o, d, throughput, radiance, alive), _ = jax.lax.scan(
+        bounce, (o, d, throughput, radiance, alive),
+        jnp.arange(depth, dtype=jnp.int32))
+
+    return finish_ambient(ss, throughput, radiance, alive)
+
+
+def build_render_fn(ss: StaticScene, width: int, height: int, spp: int,
+                    depth: int, chunk: int, has_lens: bool,
+                    use_env: bool) -> Callable:
+    """Compile a full-render function closed over the static scene.
+    Returns fn(cam, env_map, key) -> (H, W, 3), row 0 = BOTTOM."""
+    n_pix = width * height
+    n_rays = n_pix * chunk
+    n_steps = spp // chunk
+    jj = np.tile(np.tile(np.arange(width, dtype=np.float32), height), chunk)
+    ii = np.tile(np.repeat(np.arange(height, dtype=np.float32), width), chunk)
+
+    @jax.jit
+    def render(cam: CameraParams, env_map, key):
+        jjd = jnp.asarray(jj)
+        iid = jnp.asarray(ii)
+
+        def step(film, it):
+            k = jax.random.fold_in(key, it)
+            k_jx, k_jy, k_lens, k_path = jax.random.split(k, 4)
+            rx = jax.random.uniform(k_jx, (n_rays,), minval=-1.0, maxval=1.0)
+            ry = jax.random.uniform(k_jy, (n_rays,), minval=-1.0, maxval=1.0)
+            x = (jjd + rx) / width
+            y = (iid + ry) / height
+            if has_lens:
+                lens = uniform_circle(k_lens, (n_rays,))
+                lens_uv = (lens[..., 0], lens[..., 1])
+            else:
+                lens_uv = None
+            o, d = shoot_v3(cam, x, y, lens_uv=lens_uv)
+            radiance = trace_bsdf_wavefront(
+                ss, o, d, k_path, depth,
+                env_map=env_map if use_env else None)
+            fx, fy, fz = film
+            fx = fx + radiance.x.reshape(chunk, n_pix).sum(axis=0)
+            fy = fy + radiance.y.reshape(chunk, n_pix).sum(axis=0)
+            fz = fz + radiance.z.reshape(chunk, n_pix).sum(axis=0)
+            return (fx, fy, fz), None
+
+        zeros = jnp.zeros((n_pix,), jnp.float32)
+        (fx, fy, fz), _ = jax.lax.scan(
+            step, (zeros, zeros, zeros), jnp.arange(n_steps, dtype=jnp.int32))
+        inv = 1.0 / float(spp)
+        color = V3(jnp.sqrt(jnp.maximum(fx * inv, 0.0)),
+                   jnp.sqrt(jnp.maximum(fy * inv, 0.0)),
+                   jnp.sqrt(jnp.maximum(fz * inv, 0.0)))
+        return to_array(color).reshape(height, width, 3)
+
+    return render
+
+
+_FN_CACHE: Dict[str, Callable] = {}
+
+
+def get_render_fn(ss: StaticScene, *shape_args) -> Callable:
+    key = hashlib.sha1(repr((ss, shape_args)).encode()).hexdigest()
+    fn = _FN_CACHE.get(key)
+    if fn is None:
+        fn = build_render_fn(ss, *shape_args)
+        _FN_CACHE[key] = fn
+    return fn
+
+
+@register_renderer("AccPathTracer", description=(
+    "An accelerated path tracer.\n"
+    "Multi-BSDF (Lambertian/conductor/glass/microfacet) wavefront path "
+    "tracing with BVH acceleration for meshes."))
+class AccPathTracerRenderer(RenderComponent):
+    def __init__(self, seed: int = 0):
+        self.seed = seed
+
+    def render(self, scene: Scene) -> RenderResult:
+        ro = scene.render_option
+        w, h, spp, depth = (ro.width, ro.height, ro.samples_per_pixel,
+                            ro.depth)
+        arrays = build_scene_arrays(scene)
+        ss = make_static_scene(arrays)
+        cam = make_camera(scene.camera)
+        chunk = pick_chunk(w, h, spp)
+        use_env = ss.ambient_type == 1
+        has_lens = scene.camera.aperture > 0
+        fn = get_render_fn(ss, w, h, spp, depth, chunk, has_lens, use_env)
+        img = fn(cam, arrays.env_map, make_base_key(self.seed))
+        img = np.asarray(img)[::-1]
+        img = np.clip(img, 0.0, 1.0)
+        get_server().logger.log("Done...")
+        rgba = np.concatenate([img, np.ones((h, w, 1), np.float32)], axis=2)
+        return RenderResult(pixels=rgba, width=w, height=h)

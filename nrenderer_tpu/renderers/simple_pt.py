@@ -39,16 +39,17 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import os
+
 from ..ops.camera import CameraParams, make_camera, shoot_v3
 from ..ops.env import sample_env_map_v3
 from ..ops.intersect import (
     T_MIN_PT, StaticScene, intersect_area_lights_unrolled,
     intersect_scene_unrolled, make_static_scene,
 )
-from ..ops.sampling import (
-    hemisphere_v3, make_base_key, onb_local_v3, uniform_circle,
-)
-from ..ops.soa import V3, dot3, normalize3, to_array, where3
+from ..ops.pt_core import diffuse_bounce, finish_ambient
+from ..ops.sampling import make_base_key, uniform_circle
+from ..ops.soa import V3, to_array
 from ..scene.arrays import SceneArrays, build_scene_arrays
 from ..scene.model import Scene
 from ..server.component import RenderComponent, RenderResult
@@ -58,7 +59,11 @@ from ..server.registry import get_server, register_renderer
 def trace_diffuse_wavefront(ss: StaticScene, o: V3, d: V3, key, depth: int,
                             env_map=None) -> V3:
     """Trace an (N,)-ray wavefront for `depth` diffuse bounces; returns V3
-    radiance.  `env_map` (traced (He,We,3) array) enables env-map misses."""
+    radiance.  `env_map` (traced (He,We,3) array) enables env-map misses.
+
+    The bounce physics is the shared `ops.pt_core.diffuse_bounce`, also used
+    verbatim by the Pallas megakernel — the two engines differ only in how
+    uniforms are drawn and where state lives."""
     n = o.x.shape[0]
     zeros = jnp.zeros((n,), o.x.dtype)
     ones = jnp.ones((n,), o.x.dtype)
@@ -70,53 +75,31 @@ def trace_diffuse_wavefront(ss: StaticScene, o: V3, d: V3, key, depth: int,
     def bounce(carry, b):
         o, d, throughput, radiance, alive = carry
         kb = jax.random.fold_in(key, b)
-        hit = intersect_scene_unrolled(ss, o, d, t_min=T_MIN_PT,
-                                       mat_channels=albedo_ch)
-        t_l, light_rad = intersect_area_lights_unrolled(ss, o, d,
-                                                        t_min=T_MIN_PT)
-
-        obj_first = alive & hit.valid & (hit.t < t_l)
-        light_hit = alive & ~obj_first & jnp.isfinite(t_l)
-
-        lw = light_hit.astype(o.x.dtype)
-        radiance = V3(radiance.x + lw * throughput.x * light_rad.x,
-                      radiance.y + lw * throughput.y * light_rad.y,
-                      radiance.z + lw * throughput.z * light_rad.z)
+        k1, k2 = jax.random.split(kb)
         if env_map is not None:
-            miss = alive & ~obj_first & ~light_hit
+            # env contribution must be recorded before the state update
+            hit_pre = intersect_scene_unrolled(ss, o, d, t_min=T_MIN_PT)
+            t_l_pre, _ = intersect_area_lights_unrolled(ss, o, d,
+                                                        t_min=T_MIN_PT)
+            miss = (alive & ~(hit_pre.valid & (hit_pre.t < t_l_pre))
+                    & ~jnp.isfinite(t_l_pre))
             env = sample_env_map_v3(env_map, d)
             ew = miss.astype(o.x.dtype)
             radiance = V3(radiance.x + ew * throughput.x * env.x,
                           radiance.y + ew * throughput.y * env.y,
                           radiance.z + ew * throughput.z * env.z)
-
-        # diffuse bounce (uniform hemisphere about the stored normal)
-        ax, ay, az = hit.channels
-        local = hemisphere_v3(kb, (n,))
-        new_d = normalize3(onb_local_v3(hit.normal, local), eps=1e-20)
-        cos = dot3(hit.normal, new_d)
-        # attenuation * cos / pdf = (albedo/pi) * cos * 2pi = 2 albedo cos
-        scale = 2.0 * cos
-        throughput = V3(
-            throughput.x * jnp.where(obj_first, ax * scale, 1.0),
-            throughput.y * jnp.where(obj_first, ay * scale, 1.0),
-            throughput.z * jnp.where(obj_first, az * scale, 1.0))
-        o = where3(obj_first, hit.point, o)
-        d = where3(obj_first, new_d, d)
-        alive = obj_first
+        u1 = jax.random.uniform(k1, (n,))
+        u2 = jax.random.uniform(k2, (n,))
+        o, d, throughput, radiance, alive = diffuse_bounce(
+            ss, albedo_ch, o, d, throughput, radiance, alive, u1, u2,
+            t_min=T_MIN_PT)
         return (o, d, throughput, radiance, alive), None
 
     (o, d, throughput, radiance, alive), _ = jax.lax.scan(
         bounce, (o, d, throughput, radiance, alive),
         jnp.arange(depth, dtype=jnp.int32))
 
-    # depth cap: surviving paths see the constant ambient (`trace` line 145)
-    if any(c != 0.0 for c in ss.ambient_constant):
-        aw = alive.astype(o.x.dtype)
-        radiance = V3(radiance.x + aw * throughput.x * ss.ambient_constant[0],
-                      radiance.y + aw * throughput.y * ss.ambient_constant[1],
-                      radiance.z + aw * throughput.z * ss.ambient_constant[2])
-    return radiance
+    return finish_ambient(ss, throughput, radiance, alive)
 
 
 def build_render_fn(ss: StaticScene, width: int, height: int, spp: int,
@@ -216,11 +199,23 @@ class SimplePathTracerRenderer(RenderComponent):
         arrays = build_scene_arrays(scene)
         ss = make_static_scene(arrays)
         cam = make_camera(scene.camera)
-        chunk = pick_chunk(w, h, spp)
         use_env = ss.ambient_type == 1
         has_lens = scene.camera.aperture > 0
-        fn = get_render_fn(ss, w, h, spp, depth, chunk, has_lens, use_env)
-        img = fn(cam, arrays.env_map, make_base_key(self.seed))
+        # Engine: the Pallas megakernel on TPU (fastest), XLA wavefront
+        # elsewhere / when env-map misses are needed (not in the kernel yet).
+        engine = os.environ.get("NR_ENGINE", "auto")
+        if engine == "auto":
+            engine = ("pallas" if jax.default_backend() not in ("cpu",)
+                      and not use_env else "xla")
+        if engine == "pallas":
+            from ..ops.pt_pallas import render_simple_pt_pallas
+            img = render_simple_pt_pallas(ss, cam, w, h, spp, depth,
+                                          seed=self.seed)
+        else:
+            chunk = pick_chunk(w, h, spp)
+            fn = get_render_fn(ss, w, h, spp, depth, chunk, has_lens,
+                               use_env)
+            img = fn(cam, arrays.env_map, make_base_key(self.seed))
         img = np.asarray(img)[::-1]  # bottom-up -> row 0 top
         img = np.clip(img, 0.0, 1.0)  # Screen.set clamp (`Screen.cpp:63`)
         get_server().logger.log("Done...")

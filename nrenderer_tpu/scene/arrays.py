@@ -117,9 +117,14 @@ def _safe_inv_columns(u: np.ndarray, v: np.ndarray) -> np.ndarray:
     w = np.cross(u, v)
     m = np.stack([u, v, w], axis=-1)  # columns
     try:
-        return np.linalg.inv(m)
+        inv = np.linalg.inv(m)
     except np.linalg.LinAlgError:
         return np.eye(3)
+    # snap numerical dust to exact zero so the unrolled kernels can
+    # trace-time-fold the term away (axis-aligned patches -> 1 multiply)
+    scale = np.abs(inv).max() or 1.0
+    inv[np.abs(inv) < 1e-12 * scale] = 0.0
+    return inv
 
 
 def _pack_material(mat) -> Tuple[int, np.ndarray]:

@@ -1,0 +1,122 @@
+"""AccPathTracer tests: BSDF dispatch, conductor/glass/microfacet physics."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+import nrenderer_tpu
+from nrenderer_tpu import load_scn
+from nrenderer_tpu.server.manager import ComponentManager
+from nrenderer_tpu.ops.soa import V3
+from nrenderer_tpu.ops.pt_core import (
+    conductor_scatter, fresnel_conductor, glass_scatter, microfacet_scatter,
+)
+
+nrenderer_tpu._register_builtin_renderers()
+
+
+def render(resource_dir, name, w=48, h=48, spp=8, depth=6, mutate=None):
+    scene = load_scn(str(resource_dir / name))
+    scene.render_option.width = w
+    scene.render_option.height = h
+    scene.render_option.samples_per_pixel = spp
+    scene.render_option.depth = depth
+    if mutate:
+        mutate(scene)
+    mgr = ComponentManager()
+    mgr.exec("AccPathTracer", scene)
+    return mgr.wait(timeout=600).pixels
+
+
+def v3s(*vals):
+    return V3(jnp.asarray([vals[0]], jnp.float32),
+              jnp.asarray([vals[1]], jnp.float32),
+              jnp.asarray([vals[2]], jnp.float32))
+
+
+def test_fresnel_conductor_normal_incidence():
+    """At normal incidence F = ((n-1)^2 + k^2) / ((n+1)^2 + k^2)."""
+    eta_r = v3s(0.142, 0.374, 1.439)   # gold
+    eta_i = v3s(3.974, 2.380, 1.599)
+    f = fresnel_conductor(jnp.asarray([1.0]), eta_r, eta_i)
+    for ch, n, k in (("x", 0.142, 3.974), ("y", 0.374, 2.380),
+                     ("z", 1.439, 1.599)):
+        expect = ((n - 1) ** 2 + k ** 2) / ((n + 1) ** 2 + k ** 2)
+        assert float(getattr(f, ch)[0]) == pytest.approx(expect, rel=1e-4)
+
+
+def test_conductor_mirror_direction():
+    d = v3s(0.0, -np.sqrt(0.5), np.sqrt(0.5))
+    n = v3s(0.0, 1.0, 0.0)
+    l, att = conductor_scatter(d, n, v3s(0.1, 0.1, 0.1), v3s(3, 3, 3),
+                               v3s(1, 1, 1))
+    # reflect about y: (0, +s, s)
+    assert float(l.y[0]) == pytest.approx(np.sqrt(0.5), abs=1e-5)
+    assert float(l.z[0]) == pytest.approx(np.sqrt(0.5), abs=1e-5)
+    assert float(att.x[0]) > 0
+
+
+def test_glass_reflect_refract_split():
+    d = v3s(0.0, -1.0, 0.0)
+    n = v3s(0.0, 1.0, 0.0)
+    ior = jnp.asarray([1.5], jnp.float32)
+    absorbed = v3s(1.0, 1.0, 1.0)
+    # u below F -> reflect (F ~ 0.04 at normal incidence)
+    l_r, w_r = glass_scatter(d, n, ior, absorbed, jnp.asarray([0.0]))
+    assert float(l_r.y[0]) == pytest.approx(1.0, abs=1e-5)
+    # u above F -> refract; at normal incidence the reference's construction
+    # gives x_ = 0 -> straight through along -N
+    l_t, w_t = glass_scatter(d, n, ior, absorbed, jnp.asarray([0.999]))
+    assert float(l_t.y[0]) == pytest.approx(-1.0, abs=1e-4)
+    np.testing.assert_allclose(np.asarray(w_t.x), 1.0)
+
+
+def test_glass_tir_reflects():
+    # from inside (dot(V,N)>0) at grazing angle -> x_ > 1 -> TIR
+    d = v3s(np.sqrt(0.96), 0.2, 0.0)  # mostly along +x, slightly +y
+    n = v3s(0.0, 1.0, 0.0)
+    ior = jnp.asarray([1.5], jnp.float32)
+    l, w = glass_scatter(d, n, ior, v3s(1, 1, 1), jnp.asarray([0.999]))
+    # reflected: y flips
+    assert float(l.y[0]) == pytest.approx(-0.2, abs=1e-4)
+
+
+def test_microfacet_zero_rough_is_mirror():
+    d = v3s(0.0, -np.sqrt(0.5), np.sqrt(0.5))
+    n = v3s(0.0, 1.0, 0.0)
+    l, att = microfacet_scatter(d, n, v3s(1, 1, 1),
+                                jnp.asarray([1e-4]), jnp.asarray([0.04]),
+                                jnp.asarray([0.2]), jnp.asarray([0.3]),
+                                jnp.asarray([0.7]))
+    # nearly mirror about n
+    assert float(l.y[0]) == pytest.approx(np.sqrt(0.5), abs=1e-2)
+    assert np.isfinite(float(att.x[0]))
+
+
+def test_pt_glass_scene(resource_dir):
+    img = render(resource_dir, "pt_glass.scn", spp=16)
+    assert np.isfinite(img).all()
+    assert img[..., :3].max() > 0.05  # lit by the area light
+
+
+def test_conductors_scene(resource_dir):
+    """conductors.scn has only type-3 (microfacet) spheres and no light;
+    must run without NaNs and stay black (nothing emits)."""
+    img = render(resource_dir, "conductors.scn", spp=4, depth=4)
+    assert np.isfinite(img).all()
+
+
+def test_matches_simple_pt_on_diffuse_scene(resource_dir):
+    """On an all-Lambertian scene AccPathTracer and SimplePathTracer sample
+    the same estimator -> images agree within MC noise."""
+    a = render(resource_dir, "path_tracing_cornel.scn", spp=64, depth=4)
+    scene = load_scn(str(resource_dir / "path_tracing_cornel.scn"))
+    scene.render_option.width = 48
+    scene.render_option.height = 48
+    scene.render_option.samples_per_pixel = 64
+    scene.render_option.depth = 4
+    mgr = ComponentManager()
+    mgr.exec("SimplePathTracer", scene)
+    b = mgr.wait(timeout=600).pixels
+    diff = np.abs(a[..., :3].mean() - b[..., :3].mean())
+    assert diff < 0.03
