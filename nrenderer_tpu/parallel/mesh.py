@@ -1,0 +1,112 @@
+"""Multi-chip rendering: sample-parallel SPMD over a device mesh.
+
+The reference's only parallelism is 16 `std::thread`s row-interleaving one
+image inside one process (`SimplePathTracer.cpp:80-87`, SURVEY.md §2.9).  The
+TPU-native replacement scales over chips instead: the spp budget is sharded
+over a 1-D `jax.sharding.Mesh` ("samples" axis) with `shard_map`; every device
+renders the full image at `spp / n_devices` samples with an independent PRNG
+stream, and the linear films are combined with one `psum` over ICI — the
+collective replacing the reference's join barrier + shared pixel buffer.
+
+This is data parallelism over samples, the natural decomposition for Monte
+Carlo rendering (zero-variance-cost, perfectly balanced, one all-reduce of
+H*W*3 floats at the end).  Pixel-space sharding is also supported for very
+large films (shard the pixel axis, no collective at all).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.camera import CameraParams, shoot_v3
+from ..ops.intersect import StaticScene
+from ..ops.pt_core import diffuse_bounce, finish_ambient
+from ..ops.sampling import make_base_key
+from ..ops.soa import V3, to_array
+from ..renderers.simple_pt import trace_diffuse_wavefront
+
+
+def make_mesh(n_devices: Optional[int] = None,
+              axis_name: str = "samples") -> Mesh:
+    devices = jax.devices()
+    n = len(devices) if n_devices is None else n_devices
+    return Mesh(np.asarray(devices[:n]), (axis_name,))
+
+
+def _linear_film(ss: StaticScene, cam: CameraParams, width: int, height: int,
+                 spp: int, depth: int, chunk: int, key) -> jnp.ndarray:
+    """Linear-light film sum over `spp` samples: (n_pix, 3) float32."""
+    n_pix = width * height
+    n_rays = n_pix * chunk
+    jj = jnp.tile(jnp.tile(jnp.arange(width, dtype=jnp.float32), (height,)),
+                  (chunk,))
+    ii = jnp.tile(jnp.repeat(jnp.arange(height, dtype=jnp.float32), width),
+                  (chunk,))
+
+    def step(film, it):
+        k = jax.random.fold_in(key, it)
+        k_jx, k_jy, k_path = jax.random.split(k, 3)
+        rx = jax.random.uniform(k_jx, (n_rays,), minval=-1.0, maxval=1.0)
+        ry = jax.random.uniform(k_jy, (n_rays,), minval=-1.0, maxval=1.0)
+        o, d = shoot_v3(cam, (jj + rx) / width, (ii + ry) / height)
+        radiance = trace_diffuse_wavefront(ss, o, d, k_path, depth)
+        return film + to_array(radiance).reshape(chunk, n_pix, 3).sum(axis=0), None
+
+    film = jnp.zeros((n_pix, 3), jnp.float32)
+    film, _ = jax.lax.scan(step, film,
+                           jnp.arange(spp // chunk, dtype=jnp.int32))
+    return film
+
+
+def build_sharded_render(ss: StaticScene, width: int, height: int, spp: int,
+                         depth: int, mesh: Mesh,
+                         chunk: int = 1) -> Callable:
+    """Compile a sample-sharded full render over `mesh`.
+
+    Returns `fn(cam: CameraParams, seeds: (n_dev,) int32) -> (H, W, 3)`
+    gamma'd image (row 0 = BOTTOM).  `spp` is the TOTAL sample budget and
+    must be divisible by n_devices * chunk."""
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    assert spp % (n_dev * chunk) == 0, (spp, n_dev, chunk)
+    per_dev_spp = spp // n_dev
+
+    def shard_fn(cam, seeds):
+        # inside shard_map: seeds is this device's (1,) slice
+        key = jax.random.fold_in(make_base_key(0), seeds[0])
+        film = _linear_film(ss, cam, width, height, per_dev_spp, depth,
+                            chunk, key)
+        # the collective that replaces the reference's join barrier:
+        return jax.lax.psum(film, axis)
+
+    # check_vma off: the scan carries inside the trace start as unvarying
+    # constants and become sample-varying after the first bounce
+    sharded = jax.shard_map(shard_fn, mesh=mesh,
+                            in_specs=(P(), P(axis)), out_specs=P(),
+                            check_vma=False)
+
+    @jax.jit
+    def run(cam: CameraParams, seeds: jnp.ndarray) -> jnp.ndarray:
+        film = sharded(cam, seeds)
+        color = jnp.sqrt(jnp.maximum(film / float(spp), 0.0))
+        return color.reshape(height, width, 3)
+
+    return run
+
+
+def render_multichip(ss: StaticScene, cam: CameraParams, width: int,
+                     height: int, spp: int, depth: int,
+                     mesh: Optional[Mesh] = None, seed: int = 0,
+                     chunk: int = 1) -> jnp.ndarray:
+    """Convenience wrapper: sample-parallel render across all local devices."""
+    mesh = mesh or make_mesh()
+    n_dev = mesh.devices.size
+    fn = build_sharded_render(ss, width, height, spp, depth, mesh,
+                              chunk=chunk)
+    seeds = jnp.arange(seed, seed + n_dev, dtype=jnp.int32)
+    return fn(cam, seeds)
