@@ -378,6 +378,8 @@ class HitUnrolled(NamedTuple):
     point: V3
     normal: V3
     mat_id: jnp.ndarray  # (N,) float material id of the hit (0 if miss)
+    prim_id: jnp.ndarray  # (N,) float primitive id (enumeration order:
+    #                       spheres, triangles, planes; -1 if miss)
     channels: tuple      # per-ray tracked material constants ((N,) each)
 
 
@@ -401,19 +403,24 @@ def intersect_scene_unrolled(ss: StaticScene, o: V3, d: V3,
     nx = jnp.zeros_like(o.x); ny = jnp.zeros_like(o.x)
     nz = jnp.zeros_like(o.x)
     mid = jnp.zeros_like(o.x)  # material id as float
+    pid_best = jnp.full_like(o.x, -1.0)  # primitive id as float
     chans = tuple(jnp.zeros_like(o.x) for _ in range(k))
+    prim_counter = [0]
 
     def upd(hit_mask, t, nxx, nyy, nzz, m, state):
-        t_best, nx, ny, nz, mid, chans = state
+        t_best, nx, ny, nz, mid, pid_best, chans = state
+        pid = prim_counter[0]
+        prim_counter[0] += 1
         closer = hit_mask & (t < t_best)
         new_chans = tuple(
             jnp.where(closer, float(mat_channels[m][i]), chans[i])
             for i in range(k))
         return (jnp.where(closer, t, t_best), jnp.where(closer, nxx, nx),
                 jnp.where(closer, nyy, ny), jnp.where(closer, nzz, nz),
-                jnp.where(closer, float(m), mid), new_chans)
+                jnp.where(closer, float(m), mid),
+                jnp.where(closer, float(pid), pid_best), new_chans)
 
-    state = (t_best, nx, ny, nz, mid, chans)
+    state = (t_best, nx, ny, nz, mid, pid_best, chans)
 
     for (cx, cy, cz, r, m) in ss.sph:
         ocx, ocy, ocz = o.x - cx, o.y - cy, o.z - cz
@@ -470,11 +477,12 @@ def intersect_scene_unrolled(ss: StaticScene, o: V3, d: V3,
         state = upd(ok, jnp.where(ok, t, inf), nrm[0], nrm[1], nrm[2], m,
                     state)
 
-    t_best, nx, ny, nz, mid, chans = state
+    t_best, nx, ny, nz, mid, pid_best, chans = state
     valid = jnp.isfinite(t_best)
     point = V3(o.x + t_best * d.x, o.y + t_best * d.y, o.z + t_best * d.z)
     return HitUnrolled(t=t_best, valid=valid, point=point,
-                       normal=V3(nx, ny, nz), mat_id=mid, channels=chans)
+                       normal=V3(nx, ny, nz), mat_id=mid, prim_id=pid_best,
+                       channels=chans)
 
 
 def intersect_area_lights_unrolled(ss: StaticScene, o: V3, d: V3,

@@ -1,1 +1,760 @@
-"""Placeholder: implemented in a later milestone."""
+"""MetropolisLightTransport: Kelemen-style primary-sample-space MLT over a
+bidirectional path tracer.
+
+Rebuild of the metropolis_light_transport plugin (the reference's flagship,
+`components/metropolis_light_transport/`, structure after smallpt-MLT):
+
+  - primary sample space chains: a vector u of NumStates uniforms drives the
+    whole bidirectional sample (`TMarkovChian.hpp:9-29`)
+  - mutations: `large_step` = fresh uniforms w.p. 0.3, else `perturb` with
+    exponential-scale wraparound; pixel dims use (2/(w+h), 0.1), the rest
+    (1/1024, 1/64) (`Metropolis.hpp:103-147`)
+  - bidirectional path generation: eye path from a pinhole `SampleCamera`,
+    light path from the first area light with a g=999 cosine-power lobe (the
+    "area-laser"); diffuse-only bounces via `VecCosine(n, 1, ...)`
+    (`Metropolis.hpp:443-525`, `src/Metropolis.cpp:188-214`)
+  - CombinePaths: all (eye prefix, light prefix) connections for path lengths
+    3..20, each weighted by the balance heuristic over
+    `PathProbablityDensity` sums (`Metropolis.hpp:544-608,349-441`)
+  - Kelemen accumulation: both proposal and current splat every mutation with
+    weights (a+isLarge)/(sc/b+pL) and (1-a)/(sc/b+pL) (`Metropolis.cpp:49-57`)
+  - exposure tone map pow(1-exp(-x*s), 1/2.2) (`Metropolis.cpp:110-124`)
+
+TPU-native redesign (vs 8 std::threads x 2M serial mutations with shared
+xorshift state and racy splats, SURVEY.md §2.9):
+
+  - thousands of chains run in lockstep as (C,)-lane arrays; the mutation
+    loop is ONE `lax.scan`; every chain has its own counter-based PRNG stream
+  - the (s,t) connection enumeration is an inner scan over a static combo
+    table with fixed-length masked vertex loops (no data-dependent shapes)
+  - splats are DEFERRED: a retained path accumulates its Kelemen weight and
+    is scattered once when replaced (identical totals, half the scatter
+    traffic, bounded storage)
+  - scene coordinates are normalized to unit scale inside this renderer so
+    the ~20-edge pdf products stay inside float32 range (the reference uses
+    doubles); per-path contributions are scale-invariant (throughput and pdf
+    powers of the scale factor cancel)
+
+Reference quirks preserved for parity (each marked REFQUIRK below): the light
+sample's position and direction reuse the same two uniforms; connections to
+the light SAMPLE vert (t=1) always fail the id-equality visibility test;
+emitted radiance is 2x the scene's area-light radiance (`Metropolis.hpp:34`);
+`getColor` returns the emitted radiance for light verts, which is what makes
+the light quad glow.  Deliberate fixes (marked DIVERGENCE): the hard-coded
+cornel albedo table (`Metropolis.hpp:204-236`) is replaced by the scene's
+material colors; the hard-coded light normal {0,-1,0} by the light's actual
+normalized cross(u,v); and light-hit verts store the NORMALIZED normal
+instead of the raw cross (see _trace_path)."""
+from __future__ import annotations
+
+import hashlib
+from typing import Callable, Dict, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.camera import make_camera
+from ..ops.intersect import (
+    StaticScene, intersect_area_lights_unrolled, intersect_scene_unrolled,
+    make_static_scene,
+)
+from ..ops.sampling import make_base_key
+from ..ops.soa import V3, cross3, dot3, normalize3, where3
+from ..scene.arrays import SceneArrays, build_scene_arrays
+from ..scene.model import Scene
+from ..server.component import RenderComponent, RenderResult
+from ..server.registry import get_server, register_renderer
+
+PI = np.pi
+LIGHT_ID = -3.0
+CAMERA_ID = -2.0
+UNSET_ID = -1.0
+MIN_PATH_LENGTH = 3      # `PathContribution.hpp:13`
+LARGE_STEP_PROB = 0.3
+T_MIN = 1e-4  # scene is unit-normalized; ~0.05mm in cornel units
+
+
+class MLTCamera(NamedTuple):
+    """The double-precision MLT camera view (`mlt/include/Camera.hpp:16-73`):
+    position + (u, v, w) basis + pixel-space screen distance."""
+    pos: tuple      # (3,) floats
+    u: tuple
+    v: tuple
+    w: tuple
+    dist: float     # height / (2 * halfHeight) — pixel units
+
+
+def _mlt_camera(camera, width: int, height: int) -> MLTCamera:
+    position = np.asarray(camera.position, np.float64)
+    look_at = np.asarray(camera.look_at, np.float64)
+    up = np.asarray(camera.up, np.float64)
+    vfov = float(np.clip(camera.fov, 20.0, 160.0))
+    half_height = np.tan(np.radians(vfov) / 2.0)
+    w = position - look_at
+    w /= np.linalg.norm(w)
+    u = np.cross(up, w)
+    u /= np.linalg.norm(u)
+    v = np.cross(w, u)
+    return MLTCamera(pos=tuple(position), u=tuple(u), v=tuple(v),
+                     w=tuple(w), dist=height / (2.0 * half_height))
+
+
+def _onb_pixar(n: V3) -> tuple:
+    """The reference's `onb(base, n)` basis (`Metropolis.hpp:186-200`):
+    base.x*u + base.y*n + base.z*w with the z<-0.9999999 branch."""
+    flip = n.z < -0.9999999
+    a = 1.0 / (1.0 + jnp.where(flip, 1.0, n.z))  # guarded; masked when flip
+    b = -n.x * n.y * a
+    ux = jnp.where(flip, 0.0, 1.0 - n.x * n.x * a)
+    uy = jnp.where(flip, -1.0, b)
+    uz = jnp.where(flip, 0.0, -n.x)
+    wx = jnp.where(flip, -1.0, b)
+    wy = jnp.where(flip, 0.0, 1.0 - n.y * n.y * a)
+    wz = jnp.where(flip, 0.0, -n.y)
+    return (V3(ux, uy, uz), V3(wx, wy, wz))
+
+
+def vec_cosine(n: V3, g: float, r1, r2) -> V3:
+    """`VecCosine` (`src/Metropolis.cpp:217-224`): cosine-power lobe about n,
+    exponent g (g=1 diffuse, g=999 the area-laser)."""
+    temp1 = 2.0 * PI * r1
+    temp2 = jnp.power(r2, 1.0 / (g + 1.0))
+    s = jnp.sin(temp1)
+    c = jnp.cos(temp1)
+    t = jnp.sqrt(jnp.maximum(1.0 - temp2 * temp2, 0.0))
+    u, w = _onb_pixar(n)
+    bx, by, bz = s * t, temp2, c * t
+    return V3(bx * u.x + by * n.x + bz * w.x,
+              bx * u.y + by * n.y + bz * w.y,
+              bx * u.z + by * n.z + bz * w.z)
+
+
+class PathBatch(NamedTuple):
+    """SoA batch of paths: (V, C) arrays, row i = vertex i."""
+    px: jnp.ndarray
+    py: jnp.ndarray
+    pz: jnp.ndarray
+    nx: jnp.ndarray
+    ny: jnp.ndarray
+    nz: jnp.ndarray
+    pid: jnp.ndarray   # float ids; LIGHT_ID/CAMERA_ID/UNSET_ID or prim id
+    count: jnp.ndarray  # (C,) float — number of valid verts
+
+
+def _trace_path(ss: StaticScene, mat_ch, o: V3, d: V3, u: jnp.ndarray,
+                rnd_base: int, v_max: int, depth: int, first_vert,
+                light_normal_raw) -> PathBatch:
+    """Shared eye/light path tracer (`src/Metropolis.cpp:188-214`): diffuse
+    bounces with PSS uniforms; light hits terminate the path.
+
+    DIVERGENCE: the reference stores the RAW (unnormalized) cross(u,v) as
+    the light-hit vert normal (`Metropolis.cpp:203` via `xAreaLight`), which
+    injects |u x v| (~14400 for the stock scene) into the MIS pdfs and the
+    geometry term of paths through the light — a scale-DEPENDENT bug.  We
+    store the normalized normal: the estimator stays unbiased (MIS weights
+    remain a partition of unity) and becomes invariant under the unit
+    rescaling this renderer applies; only the variance weighting differs.
+    `first_vert` = (p V3, n V3, id float) rows."""
+    c = o.x.shape[0]
+    rows_p = [first_vert[0]]
+    rows_n = [first_vert[1]]
+    rows_id = [jnp.full((c,), first_vert[2])]
+    count = jnp.ones((c,))
+    alive = jnp.ones((c,), jnp.bool_)
+
+    for cur_depth in range(1, min(depth, v_max)):
+        hit = intersect_scene_unrolled(ss, o, d, t_min=T_MIN,
+                                       mat_channels=mat_ch)
+        t_l, _ = intersect_area_lights_unrolled(ss, o, d, t_min=T_MIN)
+        obj_first = alive & hit.valid & (hit.t < t_l)
+        light_hit = alive & ~obj_first & (t_l < jnp.inf)
+
+        n_hit = normalize3(hit.normal, eps=1e-20)
+        # flip against the ray (`Metropolis.cpp:196`)
+        flip = dot3(n_hit, d) < 0
+        n_hit = where3(flip, n_hit, -n_hit)
+
+        lp = V3(o.x + t_l * d.x, o.y + t_l * d.y, o.z + t_l * d.z)
+        vert_p = where3(obj_first, hit.point, lp)
+        vert_n = where3(obj_first, n_hit, light_normal_raw)
+        vert_id = jnp.where(obj_first, hit.prim_id,
+                            jnp.where(light_hit, LIGHT_ID, UNSET_ID))
+        appended = obj_first | light_hit
+        rows_p.append(where3(appended, vert_p, V3(*(jnp.zeros((c,)),) * 3)))
+        rows_n.append(where3(appended, vert_n, V3(*(jnp.zeros((c,)),) * 3)))
+        rows_id.append(jnp.where(appended, vert_id, UNSET_ID))
+        count = count + appended.astype(jnp.float32)
+
+        r0 = u[rnd_base + (cur_depth - 1) * 2]
+        r1 = u[rnd_base + (cur_depth - 1) * 2 + 1]
+        new_d = vec_cosine(n_hit, 1.0, r0, r1)
+        o = where3(obj_first, hit.point, o)
+        d = where3(obj_first, new_d, d)
+        alive = obj_first
+
+    while len(rows_p) < v_max:
+        rows_p.append(V3(*(jnp.zeros((c,)),) * 3))
+        rows_n.append(V3(*(jnp.zeros((c,)),) * 3))
+        rows_id.append(jnp.full((c,), UNSET_ID))
+
+    stack = lambda rows, f: jnp.stack([f(r) for r in rows])
+    return PathBatch(
+        px=stack(rows_p, lambda r: r.x), py=stack(rows_p, lambda r: r.y),
+        pz=stack(rows_p, lambda r: r.z),
+        nx=stack(rows_n, lambda r: r.x), ny=stack(rows_n, lambda r: r.y),
+        nz=stack(rows_n, lambda r: r.z),
+        pid=jnp.stack(rows_id), count=count)
+
+
+class MLTKernel:
+    """Closes over the (static) scene/camera/shape config and builds the
+    jittable pieces of the Kelemen chain."""
+
+    def __init__(self, ss: StaticScene, cam: MLTCamera, width: int,
+                 height: int, max_path: int, emitted, light_pos, light_u,
+                 light_v, light_area: float):
+        self.ss = ss
+        self.cam = cam
+        self.width = width
+        self.height = height
+        self.max_path = max_path
+        self.v_max = max_path + 1
+        nss = (self.v_max + 2) * 2          # NumStatesSubpath
+        self.nss = nss
+        self.n_states = nss * 2
+        self.emitted = emitted              # (3,) floats (2x radiance)
+        self.light_pos = light_pos
+        self.light_u = light_u
+        self.light_v = light_v
+        self.light_area = light_area
+        ln = np.cross(light_u, light_v)
+        self.light_normal_raw = tuple(ln)
+        self.light_normal = tuple(ln / np.linalg.norm(ln))
+        self.mat_ch = [tuple(m["diffuse"]) for m in ss.mats]
+        # combo table: (path length L, NumEyeVertices s), s >= 1
+        self.combos = np.array(
+            [(L, s) for L in range(MIN_PATH_LENGTH, max_path + 1)
+             for s in range(1, L + 2)], np.int32)
+
+    # -- path generation ----------------------------------------------------
+
+    def generate_eye_path(self, u: jnp.ndarray) -> PathBatch:
+        c = u.shape[1]
+        cam = self.cam
+        r1, r2 = u[0], u[1]
+        # SampleCamera (`Metropolis.hpp:490-499`)
+        sx = -(0.5 - r1) * self.width
+        sy = (0.5 - r2) * self.height
+        dx = cam.u[0] * sx + cam.v[0] * sy - cam.w[0] * cam.dist
+        dy = cam.u[1] * sx + cam.v[1] * sy - cam.w[1] * cam.dist
+        dz = cam.u[2] * sx + cam.v[2] * sy - cam.w[2] * cam.dist
+        d = normalize3(V3(dx, dy, dz), eps=1e-20)
+        o = V3(jnp.full((c,), cam.pos[0]), jnp.full((c,), cam.pos[1]),
+               jnp.full((c,), cam.pos[2]))
+        first = (o, V3(jnp.full((c,), cam.w[0]), jnp.full((c,), cam.w[1]),
+                       jnp.full((c,), cam.w[2])), CAMERA_ID)
+        ln = V3(jnp.full((c,), self.light_normal[0]),
+                jnp.full((c,), self.light_normal[1]),
+                jnp.full((c,), self.light_normal[2]))
+        return _trace_path(self.ss, self.mat_ch, o, d, u, 2, self.v_max,
+                           self.max_path, first, ln)
+
+    def generate_light_path(self, u: jnp.ndarray) -> PathBatch:
+        c = u.shape[1]
+        r1, r2 = u[self.nss], u[self.nss + 1]
+        lp, lu, lv = self.light_pos, self.light_u, self.light_v
+        ox = lp[0] + r1 * lu[0] + r2 * lv[0]
+        oy = lp[1] + r1 * lu[1] + r2 * lv[1]
+        oz = lp[2] + r1 * lu[2] + r2 * lv[2]
+        o = V3(ox, oy, oz)
+        n = V3(jnp.full((c,), self.light_normal[0]),
+               jnp.full((c,), self.light_normal[1]),
+               jnp.full((c,), self.light_normal[2]))
+        # REFQUIRK: direction reuses the SAME uniforms as the position
+        # (`Metropolis.hpp:443-463` advances PathRndsOffset after reading)
+        d = vec_cosine(n, 999.0, r1, r2)
+        first = (o, n, LIGHT_ID)
+        return _trace_path(self.ss, self.mat_ch, o, d, u, self.nss + 4,
+                           self.v_max, self.max_path, first, n)
+
+    # -- per-combo evaluation ------------------------------------------------
+
+    def _gather(self, path: PathBatch, idx: jnp.ndarray) -> PathBatch:
+        take = lambda a: jnp.take(a, idx, axis=0, mode="clip")
+        return PathBatch(px=take(path.px), py=take(path.py),
+                         pz=take(path.pz), nx=take(path.nx),
+                         ny=take(path.ny), nz=take(path.nz),
+                         pid=take(path.pid), count=path.count)
+
+    def combine_paths(self, eye: PathBatch, light: PathBatch):
+        """All BPT connections (`CombinePaths`, `Metropolis.hpp:544-608`).
+        Returns (px, py, c_rgb, valid) stacked over the combo table and the
+        scalar contribution sc (C,)."""
+        v = self.v_max
+        c = eye.px.shape[1]
+        cam = self.cam
+        w_, h_ = float(self.width), float(self.height)
+        rows = jnp.arange(v, dtype=jnp.int32)
+
+        mat_color = [tuple(m["diffuse"]) for m in self.ss.mats]
+
+        def mat_color_of(pid):
+            """Diffuse color for a prim id (replaces the reference's
+            hard-coded palette, `Metropolis.hpp:204-236`).
+
+            REFQUIRK: `getColor` returns the EMITTED radiance for the light
+            vert (id -3, `Metropolis.hpp:210-212`) — so combined paths that
+            pass THROUGH the light vertex scatter with "albedo" ~95, which
+            is precisely what makes the light quad glow in the reference
+            render (direct camera->light paths are below MinPathLength)."""
+            # prim order in intersect_scene_unrolled: spheres, tris, planes
+            mats = ([m for *_, m in self.ss.sph]
+                    + [m for *_, m in self.ss.tri]
+                    + [m for *_, m in self.ss.pln])
+            is_light = pid == LIGHT_ID
+            cr = jnp.where(is_light, self.emitted[0], 0.0)
+            cg = jnp.where(is_light, self.emitted[1], 0.0)
+            cb = jnp.where(is_light, self.emitted[2], 0.0)
+            for i, m in enumerate(mats):
+                sel = pid == float(i)
+                col = mat_color[m]
+                cr = jnp.where(sel, col[0], cr)
+                cg = jnp.where(sel, col[1], cg)
+                cb = jnp.where(sel, col[2], cb)
+            return cr, cg, cb
+
+        def combo_body(carry, combo):
+            L, s = combo[0], combo[1]
+            t = (L + 1) - s
+            n_eye = eye.count
+            n_light = light.count
+
+            ok0 = ((s.astype(jnp.float32) <= n_eye)
+                   & (t.astype(jnp.float32) <= n_light) & (t >= 0))
+
+            # combined path rows: eye for i < s, light for i > s-1
+            light_idx = jnp.clip(L - rows, 0, v - 1)
+            lg = self._gather(light, light_idx)
+            use_eye = (rows < s)[:, None]
+            cp = PathBatch(
+                px=jnp.where(use_eye, eye.px, lg.px),
+                py=jnp.where(use_eye, eye.py, lg.py),
+                pz=jnp.where(use_eye, eye.pz, lg.pz),
+                nx=jnp.where(use_eye, eye.nx, lg.nx),
+                ny=jnp.where(use_eye, eye.ny, lg.ny),
+                nz=jnp.where(use_eye, eye.nz, lg.nz),
+                pid=jnp.where(use_eye, eye.pid, lg.pid),
+                count=n_eye)
+
+            # ---- visibility / pixel location (`isConnectable`) ----
+            eye_end = self._gather(eye, jnp.clip(s - 1, 0, v - 1))
+            light_end = self._gather(light, jnp.clip(t - 1, 0, v - 1))
+            e_p = V3(eye_end.px, eye_end.py, eye_end.pz)
+            l_p = V3(light_end.px, light_end.py, light_end.pz)
+            origin = where3(s == 1,
+                            V3(jnp.full((c,), cam.pos[0]),
+                               jnp.full((c,), cam.pos[1]),
+                               jnp.full((c,), cam.pos[2])), e_p)
+            conn = V3(l_p.x - origin.x, l_p.y - origin.y, l_p.z - origin.z)
+            conn_d = normalize3(conn, eps=1e-20)
+            shadow = intersect_scene_unrolled(self.ss, origin, conn_d,
+                                              t_min=T_MIN)
+            # REFQUIRK: id equality — a t=1 connection targets the light
+            # sample vert (id -3) and always fails
+            vis = jnp.where(t == 0, eye_end.pid == LIGHT_ID,
+                            shadow.valid & (shadow.prim_id == light_end.pid))
+
+            eye1 = self._gather(eye, jnp.ones((), jnp.int32))
+            d_cam = normalize3(V3(eye1.px - eye.px[0], eye1.py - eye.py[0],
+                                  eye1.pz - eye.pz[0]), eps=1e-20)
+            direction = where3(s == 1, conn_d, d_cam)
+            # pixel projection
+            ddw = (direction.x * -cam.w[0] + direction.y * -cam.w[1]
+                   + direction.z * -cam.w[2])
+            k = cam.dist / jnp.where(jnp.abs(ddw) < 1e-12, 1e-12, ddw)
+            spx = direction.x * k + cam.w[0] * cam.dist
+            spy = direction.y * k + cam.w[1] * cam.dist
+            spz = direction.z * k + cam.w[2] * cam.dist
+            px = (cam.u[0] * spx + cam.u[1] * spy + cam.u[2] * spz
+                  + w_ * 0.5)
+            py = (-cam.v[0] * spx - cam.v[1] * spy - cam.v[2] * spz
+                  + h_ * 0.5)
+            vis = vis & (px >= 0) & (px < w_) & (py >= 0) & (py < h_)
+
+            # ---- shared edge quantities over the combined path ----
+            dvx = cp.px[1:] - cp.px[:-1]     # (V-1, C): edge i -> i+1
+            dvy = cp.py[1:] - cp.py[:-1]
+            dvz = cp.pz[1:] - cp.pz[:-1]
+            d2 = dvx * dvx + dvy * dvy + dvz * dvz
+            d2s = jnp.where(d2 < 1e-20, 1e-20, d2)
+            inv_len = jax.lax.rsqrt(d2s)
+            dup = d2 == 0.0                  # duplicate-point guard rows
+
+            lf = L.astype(jnp.float32)
+
+            # ---- PathThroughput (`Metropolis.hpp:239-293`) ----
+            # i = 0 (camera term)
+            cos0 = -(dvx[0] * cam.w[0] + dvy[0] * cam.w[1]
+                     + dvz[0] * cam.w[2]) * inv_len[0]
+            ds2 = (cam.dist / jnp.where(jnp.abs(cos0) < 1e-12, 1e-12,
+                                        cos0)) ** 2
+            w_cam = (1.0 / (w_ * h_)) / (cos0 / ds2)
+            cosn1 = jnp.abs((dvx[0] * cp.nx[1] + dvy[0] * cp.ny[1]
+                             + dvz[0] * cp.nz[1]) * inv_len[0])
+            f0 = w_cam * cosn1 / d2s[0]
+            # middle terms: vertex i in 1..L-1 contributes
+            # color_i * (1/pi) * G(x_i, x_{i+1}); the reference's
+            # GeometryTerm is cos^2 at the SAME vertex / d2 (a quirk kept):
+            # |dot(n_i, dv_i)|^2 / d2^2 with dv unnormalized.
+            cos_i = (cp.nx[:-1] * dvx + cp.ny[:-1] * dvy
+                     + cp.nz[:-1] * dvz)              # (V-1, C), edge i
+            g = (cos_i * cos_i) / (d2s * d2s)
+            cr_all, cg_all, cb_all = mat_color_of(cp.pid)
+            # rows 1..V-2 of the edge arrays = vertices 1..V-2
+            v_mid = rows[1:v - 1]
+            g_mid = g[1:v - 1]
+            ok_mid = (jnp.isfinite(g_mid) & (g_mid > 1e-30)  # ~isnormal
+                      & (v_mid[:, None].astype(jnp.float32) < lf))
+            m_r = jnp.where(ok_mid, cr_all[1:v - 1] * (1.0 / PI) * g_mid, 1.0)
+            m_g = jnp.where(ok_mid, cg_all[1:v - 1] * (1.0 / PI) * g_mid, 1.0)
+            m_b = jnp.where(ok_mid, cb_all[1:v - 1] * (1.0 / PI) * g_mid, 1.0)
+            f_r = f0 * jnp.prod(m_r, axis=0)
+            f_g = f0 * jnp.prod(m_g, axis=0)
+            f_b = f0 * jnp.prod(m_b, axis=0)
+            # last vertex term: emitted/pi if it is the light, else 0
+            last = self._gather_cp(cp, jnp.clip(L, 0, v - 1))
+            is_light_end = last.pid == LIGHT_ID
+            f_r = f_r * jnp.where(is_light_end, self.emitted[0] / PI, 0.0)
+            f_g = f_g * jnp.where(is_light_end, self.emitted[1] / PI, 0.0)
+            f_b = f_b * jnp.where(is_light_end, self.emitted[2] / PI, 0.0)
+
+            # ---- pdf prefixes (`PathProbablityDensity`) ----
+            # eye-side per-vertex terms (sampling vertex i+1 FROM vertex i):
+            #   term[0] = 1/(wh) * ds2_path/cos * D2A(x0->x1)
+            #   term[i] = LambertianPDF * D2A(x_i->x_{i+1}), i = 1..V-2
+            d2a_fwd = jnp.abs(cp.nx[1:] * dvx + cp.ny[1:] * dvy
+                              + cp.nz[1:] * dvz) * inv_len / d2s
+            # ^ |dot(n_{i+1}, dv)| / (d2 * sqrt(d2)) for edge i->i+1
+            cos0p = cos0  # same direction as throughput camera term
+            ds2p = ds2
+            eye_t0 = ((1.0 / (w_ * h_)) / (cos0p / ds2p)) * d2a_fwd[0]
+            # Lambertian pdf at vertex i for outgoing edge i->i+1:
+            # |dot(dir_{i->i+1}, n_i)| / pi
+            pdf_fwd = (jnp.abs(cp.nx[:-1] * dvx + cp.ny[:-1] * dvy
+                               + cp.nz[:-1] * dvz) * inv_len) / PI
+            eye_terms = jnp.concatenate(
+                [eye_t0[None], jnp.where(dup[1:] | dup[:-1], 1.0,
+                                         pdf_fwd[1:] * d2a_fwd[1:])])
+            # eye_terms[i] multiplies when NumEye >= i+2
+            eye_prefix = jnp.concatenate(
+                [jnp.ones((1, c)), jnp.cumprod(eye_terms, axis=0)])
+            # eye_prefix[k-1] = product for NumEyeVertices = k (k >= 1)
+
+            # light-side terms (from the far end):
+            #   lt0 = 1/lightArea
+            #   lt1 = LambertianPDF(n_L, n_L, dir L->L-1) * D2A(x_L->x_{L-1})
+            #   lt[i] = pdf at (L-i) for edge (L-i)->(L-i-1), i = 1..
+            # reversed edges: edge j (j->j+1) reversed serves (j+1)->j
+            d2a_bwd = jnp.abs(cp.nx[:-1] * dvx + cp.ny[:-1] * dvy
+                              + cp.nz[:-1] * dvz) * inv_len / d2s
+            pdf_bwd = (jnp.abs(cp.nx[1:] * dvx + cp.ny[1:] * dvy
+                               + cp.nz[1:] * dvz) * inv_len) / PI
+            # gather per-L rows: light term for i=0 uses edge (L-1)->L
+            eL = jnp.clip(L - 1, 0, v - 2)
+            # LambertianPDF(n_L, n_L, D0): |dot(D0, n_L)|/pi with D0 the
+            # direction L -> L-1 == -edge(L-1..L); n_L may be the RAW cross
+            # (REFQUIRK: unnormalized light normal scales this pdf)
+            lt1 = (jnp.take(pdf_bwd, eL, axis=0, mode="clip") *
+                   jnp.take(d2a_bwd, eL, axis=0, mode="clip"))
+            # interior light terms i >= 1: pdf at vertex (L-i) for edge
+            # (L-i)->(L-i-1): reversed pdf/d2a at edge index (L-i-1)
+            idx_i = jnp.clip(L - rows - 1, 0, v - 2)          # (V,)
+            pdfb_i = jnp.take(pdf_bwd, idx_i, axis=0, mode="clip")
+            d2ab_i = jnp.take(d2a_bwd, idx_i, axis=0, mode="clip")
+            dup_i = (jnp.take(dup, idx_i, axis=0, mode="clip")
+                     | jnp.take(dup, jnp.clip(L - rows, 0, v - 2), axis=0,
+                                mode="clip"))
+            lt_i = jnp.where(dup_i, 1.0, pdfb_i * d2ab_i)      # row i>=1
+            light_terms = jnp.concatenate(
+                [jnp.full((1, c), 1.0 / self.light_area), lt1[None],
+                 lt_i[1:v - 1]])
+            light_prefix = jnp.concatenate(
+                [jnp.ones((1, c)), jnp.cumprod(light_terms, axis=0)])
+            # light_prefix[m] = product for NumLightVertices = m
+
+            # p(s') = eye_prefix[s'-1] * light_prefix[L+1-s'], s' = 1..L+1
+            sprime = rows + 1                                   # (V,)
+            tprime = (L + 1) - sprime
+            valid_split = (tprime >= 0) & (sprime <= L + 1)
+            p_eye_all = jnp.take(eye_prefix, jnp.clip(sprime - 1, 0, v), axis=0,
+                                 mode="clip")
+            p_light_all = jnp.take(light_prefix, jnp.clip(tprime, 0, v), axis=0,
+                                   mode="clip")
+            p_split = jnp.where(valid_split[:, None],
+                                p_eye_all * p_light_all, 0.0)
+            p_all = jnp.sum(p_split, axis=0)
+            p_st = (jnp.take(eye_prefix, jnp.clip(s - 1, 0, v), axis=0,
+                              mode="clip")
+                    * jnp.take(light_prefix, jnp.clip(t, 0, v), axis=0,
+                               mode="clip"))
+
+            w_mis = jnp.where((p_st > 0) & (p_all > 0),
+                              jnp.clip(p_st / p_all, 0.0, 1.0), 0.0)
+
+            inv_p = jnp.where(p_st > 0, 1.0 / p_st, 0.0)
+            cr = f_r * w_mis * inv_p
+            cg = f_g * w_mis * inv_p
+            cb = f_b * w_mis * inv_p
+            cmax = jnp.maximum(cr, jnp.maximum(cg, cb))
+            valid = (ok0 & vis & (w_mis > 0) & (p_st > 0) & (cmax > 0)
+                     & jnp.isfinite(cmax))
+            cr = jnp.where(valid, cr, 0.0)
+            cg = jnp.where(valid, cg, 0.0)
+            cb = jnp.where(valid, cb, 0.0)
+            sc_carry = jnp.maximum(carry, jnp.where(valid, cmax, 0.0))
+            return sc_carry, (px, py, cr, cg, cb, valid)
+
+        sc0 = jnp.zeros((c,))
+        sc, contribs = jax.lax.scan(combo_body, sc0,
+                                    jnp.asarray(self.combos))
+        return contribs, sc
+
+    def _gather_cp(self, cp: PathBatch, idx) -> PathBatch:
+        take = lambda a: jnp.take(a, idx, axis=0, mode="clip")
+        return PathBatch(px=take(cp.px), py=take(cp.py), pz=take(cp.pz),
+                         nx=take(cp.nx), ny=take(cp.ny), nz=take(cp.nz),
+                         pid=take(cp.pid), count=cp.count)
+
+    # -- full sample: PSS vector -> contributions ---------------------------
+
+    def sample(self, u: jnp.ndarray):
+        eye = self.generate_eye_path(u)
+        light = self.generate_light_path(u)
+        return self.combine_paths(eye, light)
+
+    # -- PSS mutation (`Metropolis.hpp:103-147`) -----------------------------
+
+    def perturb(self, value, r, s1, s2):
+        lo = r < 0.5
+        r1 = jnp.where(lo, r * 2.0, (r - 0.5) * 2.0)
+        delta = s2 * jnp.exp(-np.log(s2 / s1) * r1)
+        up = value + delta
+        up = jnp.where(up > 1.0, up - 1.0, up)
+        down = value - delta
+        down = jnp.where(down < 0.0, down + 1.0, down)
+        return jnp.where(lo, up, down)
+
+    def mutate(self, u, key):
+        r = jax.random.uniform(key, u.shape)
+        s1_pix = 2.0 / (self.width + self.height)
+        pix = self.perturb(u[:2], r[:2], s1_pix, 0.1)
+        rest = self.perturb(u[2:], r[2:], 1.0 / 1024.0, 1.0 / 64.0)
+        return jnp.concatenate([pix, rest])
+
+
+def _scaled_static(arrays: SceneArrays, f: float) -> StaticScene:
+    """Uniformly scale scene geometry by f (unit-normalizing for f32 pdf
+    products; per-path contributions are scale-invariant, see module doc)."""
+    a = arrays
+    inv = np.asarray(a.pln_inv)
+    inv_scaled = inv.copy()
+    inv_scaled[:, 0:2, :] /= f
+    inv_scaled[:, 2, :] /= f * f
+    al_inv = np.asarray(a.al_inv)
+    al_inv_scaled = al_inv.copy()
+    al_inv_scaled[:, 0:2, :] /= f
+    al_inv_scaled[:, 2, :] /= f * f
+    scaled = a._replace(
+        sph_pos=a.sph_pos * f, sph_radius=a.sph_radius * f,
+        tri_v1=a.tri_v1 * f, tri_e1=a.tri_e1 * f, tri_e2=a.tri_e2 * f,
+        pln_pos=a.pln_pos * f, pln_inv=jnp.asarray(inv_scaled),
+        al_pos=a.al_pos * f, al_u=a.al_u * f, al_v=a.al_v * f,
+        al_normal=a.al_normal * (f * f), al_inv=jnp.asarray(al_inv_scaled),
+    )
+    return make_static_scene(scaled)
+
+
+def render_mlt(scene: Scene, chains: int = 1024, mutations: int = 256,
+               n_init: int = 10000, seed: int = 0,
+               max_path: int = None) -> np.ndarray:
+    """Full MLT render; returns (H, W, 4) float RGBA, row 0 = TOP (the MLT
+    reference never flips its film)."""
+    ro = scene.render_option
+    width, height = ro.width, ro.height
+    max_path = max_path if max_path is not None else min(ro.depth, 20)
+
+    arrays = build_scene_arrays(scene)
+    if not scene.area_light_buffer:
+        return np.zeros((height, width, 4), np.float32)
+    extent = max(1.0, float(np.abs(np.asarray(arrays.pln_pos)).max()),
+                 float(np.abs(np.asarray(arrays.sph_pos)).max()))
+    f = 1.0 / extent
+    ss = _scaled_static(arrays, f)
+
+    al = scene.area_light_buffer[0]
+    light_pos = tuple(np.asarray(al.position, np.float64) * f)
+    light_u = tuple(np.asarray(al.u, np.float64) * f)
+    light_v = tuple(np.asarray(al.v, np.float64) * f)
+    light_area = float(np.linalg.norm(np.cross(light_u, light_v)))
+    # REFQUIRK: emitted = 2x the scene radiance (`Metropolis.hpp:34`)
+    emitted = tuple(2.0 * np.asarray(al.radiance, np.float64))
+
+    camera = _mlt_camera(scene.camera, width, height)
+    camera = camera._replace(pos=tuple(np.asarray(camera.pos) * f))
+
+    kern = MLTKernel(ss, camera, width, height, max_path, emitted,
+                     light_pos, light_u, light_v, light_area)
+    ns = kern.n_states
+    n_pix = width * height
+    n_combo = kern.combos.shape[0]
+    key = make_base_key(seed)
+
+    cache_key = hashlib.sha1(repr(
+        (ss, camera, width, height, max_path, emitted, light_pos, light_u,
+         light_v, chains, mutations, n_init)).encode()).hexdigest()
+    cached = _MLT_FN_CACHE.get(cache_key)
+    if cached is not None:
+        estimate_b, run_chains = cached
+        return _finish_mlt(estimate_b, run_chains, key, width, height,
+                           chains, mutations)
+
+    @jax.jit
+    def estimate_b(key):
+        def body(acc, i):
+            k = jax.random.fold_in(key, i)
+            u = jax.random.uniform(k, (ns, chains))
+            _, sc = kern.sample(u)
+            return acc + jnp.sum(sc), None
+
+        steps = max(1, n_init // chains)
+        total, _ = jax.lax.scan(body, jnp.zeros(()),
+                                jnp.arange(steps, dtype=jnp.int32))
+        return total / (steps * chains)
+
+    @jax.jit
+    def run_chains(key, b):
+        k_init, k_loop = jax.random.split(key)
+        u_cur = jax.random.uniform(k_init, (ns, chains))
+        contribs, sc_cur = kern.sample(u_cur)
+        film = jnp.zeros((n_pix, 3))
+
+        def splat(film, contribs, weight):
+            px, py, cr, cg, cb, valid = contribs
+            ix = px.astype(jnp.int32)
+            iy = py.astype(jnp.int32)
+            ok = (valid & (ix >= 0) & (ix < width) & (iy >= 0)
+                  & (iy < height))
+            flat = jnp.where(ok, iy * width + ix, n_pix)  # n_pix = dropped
+            w = weight[None, :]
+            vals = jnp.stack([cr * w, cg * w, cb * w], axis=-1)
+            return film.at[flat.reshape(-1)].add(
+                vals.reshape(-1, 3), mode="drop")
+
+        def step(carry, i):
+            film, u_cur, cur_contribs, sc_cur, w_acc = carry
+            k = jax.random.fold_in(k_loop, i)
+            k1, k2, k3 = jax.random.split(k, 3)
+            is_large = jax.random.uniform(k1, (chains,)) <= LARGE_STEP_PROB
+            u_fresh = jax.random.uniform(k2, (ns, chains))
+            u_mut = kern.mutate(u_cur, k3)
+            u_prop = jnp.where(is_large[None, :], u_fresh, u_mut)
+            prop_contribs, sc_prop = kern.sample(u_prop)
+
+            a = jnp.where(sc_cur > 0,
+                          jnp.clip(sc_prop / jnp.where(sc_cur > 0, sc_cur,
+                                                       1.0), 0.0, 1.0), 1.0)
+            ilf = is_large.astype(jnp.float32)
+            w_prop = jnp.where(sc_prop > 0,
+                               (a + ilf) / (sc_prop / b + LARGE_STEP_PROB),
+                               0.0)
+            w_cur_step = jnp.where(sc_cur > 0,
+                                   (1.0 - a) / (sc_cur / b
+                                                + LARGE_STEP_PROB), 0.0)
+            w_acc = w_acc + w_cur_step
+
+            k4 = jax.random.fold_in(k, 777)
+            accept = jax.random.uniform(k4, (chains,)) <= a
+
+            # deferred splat: replaced current (accept) or rejected proposal
+            aw = accept.astype(jnp.float32)
+            splat_weight = aw * w_acc + (1.0 - aw) * w_prop
+            splat_contribs = tuple(
+                jnp.where(accept[None, :], c, p)
+                for c, p in zip(cur_contribs, prop_contribs))
+            film = splat(film, splat_contribs, splat_weight)
+
+            new_contribs = tuple(
+                jnp.where(accept[None, :], p, c)
+                for c, p in zip(cur_contribs, prop_contribs))
+            u_cur = jnp.where(accept[None, :], u_prop, u_cur)
+            sc_cur = jnp.where(accept, sc_prop, sc_cur)
+            w_acc = jnp.where(accept, w_prop, w_acc)
+            return (film, u_cur, new_contribs, sc_cur, w_acc), None
+
+        w_acc = jnp.zeros((chains,))
+        (film, u_cur, cur_contribs, sc_cur, w_acc), _ = jax.lax.scan(
+            step, (film, u_cur, contribs, sc_cur, w_acc),
+            jnp.arange(mutations, dtype=jnp.int32))
+        # flush the final retained paths
+        film = splat(film, cur_contribs, w_acc)
+        return film
+
+    _MLT_FN_CACHE[cache_key] = (estimate_b, run_chains)
+    return _finish_mlt(estimate_b, run_chains, key, width, height, chains,
+                       mutations)
+
+
+_MLT_FN_CACHE: Dict[str, tuple] = {}
+
+
+def _finish_mlt(estimate_b, run_chains, key, width, height, chains,
+                mutations) -> np.ndarray:
+    import os
+    import time as _time
+    debug = os.environ.get("NR_MLT_DEBUG") == "1"
+    t0 = _time.perf_counter()
+    b = float(estimate_b(key))
+    if debug:
+        print(f"MLT: b-phase {_time.perf_counter() - t0:.1f}s", flush=True)
+    if not np.isfinite(b) or b <= 0:
+        get_server().logger.warning("MLT: brightness estimate b <= 0")
+        return np.zeros((height, width, 4), np.float32)
+    get_server().logger.log(f"MLT: b = {b:.6g}")
+
+    t0 = _time.perf_counter()
+    film = np.asarray(run_chains(key, b)).reshape(height, width, 3)
+    if debug:
+        print(f"MLT: chain-phase {_time.perf_counter() - t0:.1f}s "
+              f"({chains * mutations / (_time.perf_counter() - t0) / 1e3:.1f}"
+              " Kmut/s)", flush=True)
+    # exposure tone map (`Metropolis.cpp:110-124`): s = w*h / total samples
+    samps = chains * mutations
+    s = float(width * height) / float(samps)
+    rgb = np.power(np.clip(1.0 - np.exp(-film * s), 0.0, 1.0), 1.0 / 2.2)
+    rgba = np.concatenate([rgb, np.ones((height, width, 1), np.float32)],
+                          axis=2).astype(np.float32)
+    return rgba
+
+
+@register_renderer("MetropolisLightTransport", description=(
+    "Metropolis Light Transport.\n"
+    "Kelemen primary-sample-space MLT over bidirectional path tracing with "
+    "MIS, as thousands of parallel lax.scan Markov chains."))
+class MetropolisRenderer(RenderComponent):
+    def __init__(self, seed: int = 0, chains: int = None,
+                 mutations: int = None):
+        self.seed = seed
+        self.chains = chains
+        self.mutations = mutations
+
+    def render(self, scene: Scene) -> RenderResult:
+        import os
+        ro = scene.render_option
+        chains = self.chains or int(os.environ.get("NR_MLT_CHAINS", "1024"))
+        mutations = self.mutations or int(
+            os.environ.get("NR_MLT_MUTATIONS", "256"))
+        pixels = render_mlt(scene, chains=chains, mutations=mutations,
+                            seed=self.seed)
+        get_server().logger.log("Done...")
+        return RenderResult(pixels=pixels, width=ro.width, height=ro.height)

@@ -1,0 +1,102 @@
+"""MetropolisLightTransport tests (CPU, small chain configs)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import nrenderer_tpu
+from nrenderer_tpu import load_scn
+from nrenderer_tpu.renderers import mlt as mlt_mod
+from nrenderer_tpu.renderers.mlt import render_mlt, vec_cosine
+from nrenderer_tpu.ops.soa import V3
+
+nrenderer_tpu._register_builtin_renderers()
+
+
+@pytest.fixture(scope="module")
+def mlt_image(resource_dir):
+    scene = load_scn(str(resource_dir / "Metropolis.scn"))
+    scene.render_option.width = 48
+    scene.render_option.height = 48
+    scene.render_option.depth = 6
+    return render_mlt(scene, chains=256, mutations=60, n_init=2048, seed=0)
+
+
+def test_shape_and_range(mlt_image):
+    assert mlt_image.shape == (48, 48, 4)
+    assert np.isfinite(mlt_image).all()
+    assert 0.0 <= mlt_image.min() and mlt_image.max() <= 1.0
+
+
+def test_scene_structure(mlt_image):
+    img = mlt_image[..., :3]
+    assert img.max() > 0.3  # something bright
+    # left wall red-dominant, right wall green-dominant
+    left = img[18:30, 1:5].mean(axis=(0, 1))
+    right = img[18:30, 43:47].mean(axis=(0, 1))
+    assert left[0] > left[2]
+    assert right[1] > right[0]
+    # the glowing light quad near the top center is the brightest area
+    light_region = img[2:8, 18:30].sum(axis=2).max()
+    assert light_region > img.sum(axis=2).mean()
+
+
+def test_perturb_stays_in_unit_interval():
+    kern = _tiny_kernel()
+    u = jnp.linspace(0.01, 0.99, 92 * 8).reshape(92, 8)
+    out = kern.mutate(u, jax.random.PRNGKey(1))
+    o = np.asarray(out)
+    assert (o >= 0.0).all() and (o <= 1.0).all()
+    # perturbation is small-scale most of the time
+    assert np.median(np.abs(o - np.asarray(u))) < 0.2
+
+
+def _tiny_kernel():
+    from nrenderer_tpu import build_scene_arrays
+    from nrenderer_tpu.renderers.mlt import MLTKernel, _mlt_camera
+    from nrenderer_tpu.ops.intersect import make_static_scene
+    from nrenderer_tpu.scene.model import Scene
+
+    scene = load_scn(str(
+        __import__("pathlib").Path("/root/reference/resource")
+        / "Metropolis.scn"))
+    arr = build_scene_arrays(scene)
+    ss = make_static_scene(arr)
+    cam = _mlt_camera(scene.camera, 64, 64)
+    return MLTKernel(ss, cam, 64, 64, 20, (95.0, 77.0, 62.0),
+                     (0, 0, 0), (1, 0, 0), (0, 0, 1), 1.0)
+
+
+def test_vec_cosine_distribution():
+    """g=1 must be cosine-weighted about n; g=999 nearly parallel to n."""
+    n = V3(jnp.zeros(4096), jnp.ones(4096), jnp.zeros(4096))
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    r1 = jax.random.uniform(k1, (4096,))
+    r2 = jax.random.uniform(k2, (4096,))
+    d1 = vec_cosine(n, 1.0, r1, r2)
+    cos1 = np.asarray(d1.y)
+    assert abs(cos1.mean() - 2.0 / 3.0) < 0.02  # E[cos] = 2/3 for cos-weighted
+    d999 = vec_cosine(n, 999.0, r1, r2)
+    assert np.asarray(d999.y).min() > 0.98  # the area-laser lobe
+
+
+def test_no_area_light_is_black(resource_dir):
+    scene = load_scn(str(resource_dir / "env_map_spheres.scn"))
+    scene.render_option.width = 8
+    scene.render_option.height = 8
+    img = render_mlt(scene, chains=8, mutations=2, n_init=8)
+    assert img[..., :3].max() == 0.0
+
+
+def test_registered_and_runs_via_manager(resource_dir):
+    from nrenderer_tpu.server.manager import ComponentManager
+    scene = load_scn(str(resource_dir / "Metropolis.scn"))
+    scene.render_option.width = 16
+    scene.render_option.height = 16
+    scene.render_option.depth = 4
+    mgr = ComponentManager()
+    mgr.exec("ignored", scene,
+             component=mlt_mod.MetropolisRenderer(chains=32, mutations=8))
+    result = mgr.wait(timeout=600)
+    assert result.pixels.shape == (16, 16, 4)
