@@ -90,15 +90,67 @@ def _parse_mtl(scene: Scene, path: str, mtl_map: Dict[str, int]) -> None:
                         "diffuseMap", PropertyType.TEXTURE_ID, tex_idx))
 
 
+def _load_obj_native(path: str, scene: Scene,
+                     material: Optional[int]) -> Optional[Scene]:
+    """Fast path: the native C++ scanner (native/nrnative.cpp) for plain
+    triangulated OBJ files (no materials/groups — e.g. the stock bunnies).
+    Returns None to fall back to the python parser."""
+    from .. import native
+    try:
+        with open(path, "rb") as f:
+            head = f.read(1 << 16)
+        if (b"usemtl" in head or b"mtllib" in head or b"\no " in head
+                or b"\ng " in head):
+            return None
+    except OSError:
+        return None
+    scanned = native.obj_scan(path)
+    if scanned is None:
+        return None
+    v, vt, vn, fv, ft, fn = scanned
+    if fv.shape[0] == 0:
+        return None
+    model = Model(name=os.path.splitext(os.path.basename(path))[0])
+    model_idx = len(scene.models)
+    scene.models.append(model)
+    mesh = Mesh()
+    # resolve 1-based (and negative = relative) indices
+    nv = v.shape[0]
+    pos_idx = np.where(fv < 0, fv + nv, fv - 1).astype(np.int32)
+    mesh.positions = v
+    mesh.position_indices = pos_idx.reshape(-1)
+    if vn.shape[0] and (fn != 0).all():
+        mesh.normals = vn
+        mesh.normal_indices = np.where(fn < 0, fn + vn.shape[0],
+                                       fn - 1).astype(np.int32).reshape(-1)
+    if vt.shape[0] and (ft != 0).all():
+        mesh.uvs = vt
+        mesh.uv_indices = np.where(ft < 0, ft + vt.shape[0],
+                                   ft - 1).astype(np.int32).reshape(-1)
+    mesh.material = material if material is not None else -1
+    node = Node(name="Undefined", type=NodeType.MESH,
+                entity=len(scene.mesh_buffer), model=model_idx)
+    model.nodes.append(len(scene.nodes))
+    scene.nodes.append(node)
+    scene.mesh_buffer.append(mesh)
+    return scene
+
+
 def load_obj(path: str, scene: Optional[Scene] = None,
              material: Optional[int] = None) -> Scene:
     """Import an OBJ file into `scene` (or a fresh Scene).
 
     `material`: optional material index to assign when the OBJ has no
     usemtl/mtllib (the stock bunnies have neither; the reference leaves the
-    mesh material handle invalid and the UI assigns one)."""
+    mesh material handle invalid and the UI assigns one).
+
+    Plain triangulated files take the native C++ scan (nr_obj_parse); files
+    with materials or groups use the python parser below."""
     if scene is None:
         scene = Scene()
+    native_result = _load_obj_native(path, scene, material)
+    if native_result is not None:
+        return native_result
 
     positions: List[List[float]] = []
     uvs: List[List[float]] = []

@@ -16,6 +16,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .intersect import (
     StaticScene, intersect_area_lights_unrolled, intersect_scene_unrolled,
@@ -56,16 +57,117 @@ def onb_local(normal: V3, vec: V3) -> V3:
               vec.x * u.z + vec.y * v.z + vec.z * w.z)
 
 
+def closest_hit(ss: StaticScene, o: V3, d: V3, t_min: float, mat_channels,
+                tri_bvh=None):
+    """Closest hit: unrolled constant-folded brute force, with the triangle
+    pool optionally routed through a flattened BVH walk (`tri_bvh` =
+    (FlatBVH, TrianglePack), used by the renderers when the mesh-expanded
+    triangle count makes brute force lose — the acc_path_tracing plugin's
+    whole reason to exist, `AccPathTracer.cpp:58-62`)."""
+    if tri_bvh is None:
+        return intersect_scene_unrolled(ss, o, d, t_min=t_min,
+                                        mat_channels=mat_channels)
+    from .bvh import (
+        BlockedTris, intersect_triangles_blocked, intersect_triangles_bvh,
+    )
+    ss_nt = ss._replace(tri=[])
+    hit = intersect_scene_unrolled(ss_nt, o, d, t_min=t_min,
+                                   mat_channels=mat_channels)
+    if isinstance(tri_bvh, BlockedTris):
+        tb, nxb, nyb, nzb, matb, pidb, chb = _blocked_compacted(
+            tri_bvh, o, d, t_min, hit.t)
+    else:
+        bvh, tp = tri_bvh
+        tb, nxb, nyb, nzb, matb, pidb, chb = intersect_triangles_bvh(
+            bvh, tp, o, d, t_min=t_min)
+    closer = tb < hit.t
+    t = jnp.where(closer, tb, hit.t)
+    normal = V3(jnp.where(closer, nxb, hit.normal.x),
+                jnp.where(closer, nyb, hit.normal.y),
+                jnp.where(closer, nzb, hit.normal.z))
+    chans = tuple(jnp.where(closer, cb, ch)
+                  for cb, ch in zip(chb, hit.channels))
+    point = V3(o.x + t * d.x, o.y + t * d.y, o.z + t * d.z)
+    return hit._replace(t=t, valid=jnp.isfinite(t), point=point,
+                        normal=normal,
+                        mat_id=jnp.where(closer, matb, hit.mat_id),
+                        prim_id=jnp.where(closer, pidb, hit.prim_id),
+                        channels=chans)
+
+
+COMPACT_FRACTION = 4  # mesh-ray buffer capacity = N / this
+
+
+def _blocked_compacted(bt, o: V3, d: V3, t_min: float, t_dense):
+    """Mesh-level ray compaction + blocked triangle sweep.
+
+    In a lockstep wavefront, rays that never approach the mesh would still
+    pay the full per-triangle cost.  Instead: slab-test the mesh's top-level
+    AABB (culling also on the already-found dense-prim hit distance), pack
+    the hitting rays into a fixed-capacity compact buffer (`jnp.nonzero` with
+    a static size), sweep ONLY those, and scatter the results back.  For a
+    bunny-in-a-box workload only a few percent of bounce rays reach the mesh
+    bbox, so this converts the sweep's cost from O(N * T) to
+    O((N / COMPACT_FRACTION) * T).
+
+    Capacity is fixed (XLA needs static shapes): if more than N/4 rays hit
+    the mesh bbox in one wavefront, the overflow rays skip the mesh test
+    this bounce (they see only the dense prims).  N/4 is far above observed
+    hit fractions for mesh-in-scene workloads; set COMPACT_FRACTION = 1 to
+    make the path exact at brute-force cost."""
+    from .bvh import intersect_triangles_blocked
+
+    n = o.x.shape[0]
+    cap = max(1024, n // COMPACT_FRACTION)
+    cap = min(cap, n)
+    mesh_min = bt.bb_min.min(axis=0)   # (3,) traced scalars
+    mesh_max = bt.bb_max.max(axis=0)
+
+    def axis(mn, mx, oo, dd):
+        inv = 1.0 / jnp.where(jnp.abs(dd) < 1e-20, 1e-20, dd)
+        t0 = (mn - oo) * inv
+        t1 = (mx - oo) * inv
+        return jnp.minimum(t0, t1), jnp.maximum(t0, t1)
+
+    nx0, nx1 = axis(mesh_min[0], mesh_max[0], o.x, d.x)
+    ny0, ny1 = axis(mesh_min[1], mesh_max[1], o.y, d.y)
+    nz0, nz1 = axis(mesh_min[2], mesh_max[2], o.z, d.z)
+    t_near = jnp.maximum(jnp.maximum(nx0, ny0), nz0)
+    t_far = jnp.minimum(jnp.minimum(nx1, ny1), nz1)
+    m = (t_near <= t_far) & (t_far >= t_min) & (t_near < t_dense)
+
+    (idx,) = jnp.nonzero(m, size=cap, fill_value=n)
+    gidx = jnp.clip(idx, 0, n - 1)
+    take = lambda a: jnp.take(a, gidx, mode="clip")
+    oc = V3(take(o.x), take(o.y), take(o.z))
+    dc = V3(take(d.x), take(d.y), take(d.z))
+    tc, nxc, nyc, nzc, matc, pidc, chc = intersect_triangles_blocked(
+        bt, oc, dc, t_min=t_min)
+
+    inf = jnp.float32(jnp.inf)
+    # nonzero output is sorted and unique — these hints let XLA vectorize
+    # the scatter instead of serializing it
+    scat = lambda init, vals: init.at[idx].set(
+        vals, mode="drop", indices_are_sorted=True, unique_indices=True)
+    tb = scat(jnp.full((n,), inf), tc)
+    nxb = scat(jnp.zeros((n,)), nxc)
+    nyb = scat(jnp.zeros((n,)), nyc)
+    nzb = scat(jnp.zeros((n,)), nzc)
+    matb = scat(jnp.zeros((n,)), matc)
+    pidb = scat(jnp.full((n,), -1.0), pidc)
+    chb = tuple(scat(jnp.zeros((n,)), c) for c in chc)
+    return tb, nxb, nyb, nzb, matb, pidb, chb
+
+
 def diffuse_bounce(ss: StaticScene, albedo_ch, o: V3, d: V3, throughput: V3,
-                   radiance: V3, alive, u1, u2,
-                   t_min: float = 1e-6) -> Tuple[V3, V3, V3, V3, jnp.ndarray]:
+                   radiance: V3, alive, u1, u2, t_min: float = 1e-6,
+                   tri_bvh=None) -> Tuple[V3, V3, V3, V3, jnp.ndarray]:
     """One bounce of the diffuse estimator; returns updated
     (o, d, throughput, radiance, alive).
 
     `u1, u2`: uniforms in [0,1) shaped like o.x (hemisphere sampling).
     `alive`: boolean mask of rays still carrying throughput."""
-    hit = intersect_scene_unrolled(ss, o, d, t_min=t_min,
-                                   mat_channels=albedo_ch)
+    hit = closest_hit(ss, o, d, t_min, albedo_ch, tri_bvh)
     t_l, light_rad = intersect_area_lights_unrolled(ss, o, d, t_min=t_min)
 
     obj_first = alive & hit.valid & (hit.t < t_l)
@@ -251,14 +353,13 @@ def make_mat_channels(ss: StaticScene):
 
 
 def bsdf_bounce(ss: StaticScene, mat_ch, o: V3, d: V3, throughput: V3,
-                radiance: V3, alive, u1, u2, u3,
-                t_min: float = 1e-6) -> Tuple[V3, V3, V3, V3, jnp.ndarray]:
+                radiance: V3, alive, u1, u2, u3, t_min: float = 1e-6,
+                tri_bvh=None) -> Tuple[V3, V3, V3, V3, jnp.ndarray]:
     """One bounce of the AccPathTracer estimator
     (`AccPathTracer.cpp:120-181`): closest hit, light hit, then branchless
     dispatch over material type {0 Lambertian, 1 conductor, 2 glass,
     3 microfacet} (`acc/include/shaders/ShaderCreator.hpp:17-39`)."""
-    hit = intersect_scene_unrolled(ss, o, d, t_min=t_min,
-                                   mat_channels=mat_ch)
+    hit = closest_hit(ss, o, d, t_min, mat_ch, tri_bvh)
     t_l, light_rad = intersect_area_lights_unrolled(ss, o, d, t_min=t_min)
 
     obj_first = alive & hit.valid & (hit.t < t_l)

@@ -43,10 +43,14 @@ from ..server.component import RenderComponent, RenderResult
 from ..server.registry import get_server, register_renderer
 from .simple_pt import pick_chunk
 
+BVH_THRESHOLD = 64
+
 
 def trace_bsdf_wavefront(ss: StaticScene, o: V3, d: V3, key, depth: int,
-                         env_map=None) -> V3:
-    """(N,)-ray wavefront with the 4-BSDF dispatch; returns V3 radiance."""
+                         env_map=None, tri_bvh=None) -> V3:
+    """(N,)-ray wavefront with the 4-BSDF dispatch; returns V3 radiance.
+    `tri_bvh`: optional (FlatBVH, TrianglePack) routing the triangle pool
+    through the stackless BVH walk (mesh-heavy scenes)."""
     n = o.x.shape[0]
     zeros = jnp.zeros((n,), o.x.dtype)
     ones = jnp.ones((n,), o.x.dtype)
@@ -75,7 +79,7 @@ def trace_bsdf_wavefront(ss: StaticScene, o: V3, d: V3, key, depth: int,
         u3 = jax.random.uniform(k3, (n,))
         o, d, throughput, radiance, alive = bsdf_bounce(
             ss, mat_ch, o, d, throughput, radiance, alive, u1, u2, u3,
-            t_min=T_MIN_PT)
+            t_min=T_MIN_PT, tri_bvh=tri_bvh)
         return (o, d, throughput, radiance, alive), None
 
     (o, d, throughput, radiance, alive), _ = jax.lax.scan(
@@ -86,10 +90,11 @@ def trace_bsdf_wavefront(ss: StaticScene, o: V3, d: V3, key, depth: int,
 
 
 def build_render_fn(ss: StaticScene, width: int, height: int, spp: int,
-                    depth: int, chunk: int, has_lens: bool,
-                    use_env: bool) -> Callable:
+                    depth: int, chunk: int, has_lens: bool, use_env: bool,
+                    use_bvh: bool = False) -> Callable:
     """Compile a full-render function closed over the static scene.
-    Returns fn(cam, env_map, key) -> (H, W, 3), row 0 = BOTTOM."""
+    Returns fn(cam, env_map, key, tri_bvh) -> (H, W, 3), row 0 = BOTTOM.
+    `tri_bvh` must be None iff use_bvh is False."""
     n_pix = width * height
     n_rays = n_pix * chunk
     n_steps = spp // chunk
@@ -97,7 +102,7 @@ def build_render_fn(ss: StaticScene, width: int, height: int, spp: int,
     ii = np.tile(np.repeat(np.arange(height, dtype=np.float32), width), chunk)
 
     @jax.jit
-    def render(cam: CameraParams, env_map, key):
+    def render(cam: CameraParams, env_map, key, tri_bvh=None):
         jjd = jnp.asarray(jj)
         iid = jnp.asarray(ii)
 
@@ -116,7 +121,7 @@ def build_render_fn(ss: StaticScene, width: int, height: int, spp: int,
             o, d = shoot_v3(cam, x, y, lens_uv=lens_uv)
             radiance = trace_bsdf_wavefront(
                 ss, o, d, k_path, depth,
-                env_map=env_map if use_env else None)
+                env_map=env_map if use_env else None, tri_bvh=tri_bvh)
             fx, fy, fz = film
             fx = fx + radiance.x.reshape(chunk, n_pix).sum(axis=0)
             fy = fy + radiance.y.reshape(chunk, n_pix).sum(axis=0)
@@ -165,8 +170,23 @@ class AccPathTracerRenderer(RenderComponent):
         chunk = pick_chunk(w, h, spp)
         use_env = ss.ambient_type == 1
         has_lens = scene.camera.aperture > 0
-        fn = get_render_fn(ss, w, h, spp, depth, chunk, has_lens, use_env)
-        img = fn(cam, arrays.env_map, make_base_key(self.seed))
+        # mesh-heavy scenes route triangles through the BVH; small prim sets
+        # stay on the (faster) unrolled brute force
+        n_tri = int(np.asarray(arrays.tri_valid).sum())
+        use_bvh = n_tri > BVH_THRESHOLD
+        tri_bvh = None
+        if use_bvh:
+            # BVH-preorder blocked sweep: the TPU-fast large-mesh engine
+            # (the per-ray BVH cursor walk in ops/bvh.py is ~400x slower on
+            # a vector unit; it remains available for comparison)
+            from ..ops.bvh import pack_blocked_triangles
+            tri_bvh = pack_blocked_triangles(arrays, make_mat_channels(ss))
+            get_server().logger.log(
+                f"AccPathTracer: blocked-BVH sweep over {n_tri} triangles "
+                f"({tri_bvh.v1x.shape[0]} blocks of {tri_bvh.block})")
+        fn = get_render_fn(ss, w, h, spp, depth, chunk, has_lens, use_env,
+                           use_bvh)
+        img = fn(cam, arrays.env_map, make_base_key(self.seed), tri_bvh)
         img = np.asarray(img)[::-1]
         img = np.clip(img, 0.0, 1.0)
         get_server().logger.log("Done...")

@@ -154,6 +154,85 @@ def build_render_fn(ss: StaticScene, width: int, height: int, spp: int,
     return render
 
 
+def build_linear_chunk_fn(ss: StaticScene, width: int, height: int,
+                          depth: int, chunk: int, has_lens: bool,
+                          use_env: bool) -> Callable:
+    """One progressive pass: `fn(cam, env_map, key, step) -> (n_pix, 3)`
+    linear film SUM over `chunk` samples per pixel (step indexes the PRNG
+    stream, so passes are independent estimates)."""
+    n_pix = width * height
+    n_rays = n_pix * chunk
+    jj = np.tile(np.tile(np.arange(width, dtype=np.float32), height), chunk)
+    ii = np.tile(np.repeat(np.arange(height, dtype=np.float32), width), chunk)
+
+    @jax.jit
+    def one_pass(cam: CameraParams, env_map, key, step):
+        k = jax.random.fold_in(key, step)
+        k_jx, k_jy, k_lens, k_path = jax.random.split(k, 4)
+        rx = jax.random.uniform(k_jx, (n_rays,), minval=-1.0, maxval=1.0)
+        ry = jax.random.uniform(k_jy, (n_rays,), minval=-1.0, maxval=1.0)
+        x = (jnp.asarray(jj) + rx) / width
+        y = (jnp.asarray(ii) + ry) / height
+        if has_lens:
+            lens = uniform_circle(k_lens, (n_rays,))
+            lens_uv = (lens[..., 0], lens[..., 1])
+        else:
+            lens_uv = None
+        o, d = shoot_v3(cam, x, y, lens_uv=lens_uv)
+        radiance = trace_diffuse_wavefront(
+            ss, o, d, k_path, depth, env_map=env_map if use_env else None)
+        return to_array(radiance).reshape(chunk, n_pix, 3).sum(axis=0)
+
+    return one_pass
+
+
+def render_progressive(scene_arrays, ss: StaticScene, cam, width, height,
+                       spp, depth, seed=0, has_lens=False, use_env=False,
+                       checkpoint_path=None, preview_every=1,
+                       on_preview=None):
+    """Progressive render with live Screen previews and checkpoint/resume.
+
+    The reference posts the film exactly once at the end (SURVEY.md §5.5 "no
+    progressive preview"); here each pass updates the shared Screen and can
+    snapshot the linear film so an interrupted render resumes (§5.4)."""
+    from ..server.checkpoint import load_checkpoint, save_checkpoint
+
+    chunk = pick_chunk(width, height, spp)
+    n_steps = spp // chunk
+    fingerprint = hashlib.sha1(repr(
+        (ss, width, height, spp, depth, seed, chunk)).encode()).hexdigest()
+    film = np.zeros((width * height, 3), np.float32)
+    start = 0
+    if checkpoint_path:
+        loaded = load_checkpoint(checkpoint_path, fingerprint)
+        if loaded is not None:
+            film, spp_done = loaded
+            start = spp_done // chunk
+            get_server().logger.log(
+                f"resumed at {spp_done}/{spp} spp from {checkpoint_path}")
+
+    fn = build_linear_chunk_fn(ss, width, height, depth, chunk, has_lens,
+                               use_env)
+    key = make_base_key(seed)
+    for step in range(start, n_steps):
+        film = film + np.asarray(fn(cam, scene_arrays.env_map, key, step))
+        spp_done = (step + 1) * chunk
+        if (step + 1) % preview_every == 0 or step == n_steps - 1:
+            img = np.sqrt(np.maximum(film / spp_done, 0.0))
+            img = img.reshape(height, width, 3)[::-1]
+            get_server().screen.set(
+                np.concatenate([img, np.ones((height, width, 1),
+                                             np.float32)], axis=2),
+                width, height)
+            if on_preview:
+                on_preview(spp_done, img)
+        if checkpoint_path:
+            save_checkpoint(checkpoint_path, film, spp_done, width, height,
+                            seed, fingerprint)
+    img = np.sqrt(np.maximum(film / spp, 0.0)).reshape(height, width, 3)
+    return np.clip(img[::-1], 0.0, 1.0)
+
+
 def pick_chunk(width: int, height: int, spp: int,
                budget_rays: int = 1 << 21) -> int:
     """Largest spp-divisor chunk keeping the wavefront under ~budget rays."""
@@ -189,8 +268,14 @@ def get_render_fn(ss: StaticScene, width, height, spp, depth, chunk,
     "A simple path tracer.\n"
     "Diffuse Monte Carlo path tracing as a single jitted wavefront."))
 class SimplePathTracerRenderer(RenderComponent):
-    def __init__(self, seed: int = 0):
+    def __init__(self, seed: int = 0, checkpoint_path: str = None,
+                 progressive: bool = False, preview_every: int = 1):
         self.seed = seed
+        self.checkpoint_path = checkpoint_path or os.environ.get(
+            "NR_CHECKPOINT")
+        self.progressive = progressive or bool(self.checkpoint_path) or \
+            os.environ.get("NR_PROGRESSIVE") == "1"
+        self.preview_every = preview_every
 
     def render(self, scene: Scene) -> RenderResult:
         ro = scene.render_option
@@ -201,6 +286,16 @@ class SimplePathTracerRenderer(RenderComponent):
         cam = make_camera(scene.camera)
         use_env = ss.ambient_type == 1
         has_lens = scene.camera.aperture > 0
+        if self.progressive:
+            img = render_progressive(
+                arrays, ss, cam, w, h, spp, depth, seed=self.seed,
+                has_lens=has_lens, use_env=use_env,
+                checkpoint_path=self.checkpoint_path,
+                preview_every=self.preview_every)
+            get_server().logger.log("Done...")
+            rgba = np.concatenate(
+                [img, np.ones((h, w, 1), np.float32)], axis=2)
+            return RenderResult(pixels=rgba, width=w, height=h)
         # Engine: the Pallas megakernel on TPU (fastest), XLA wavefront
         # elsewhere / when env-map misses are needed (not in the kernel yet).
         engine = os.environ.get("NR_ENGINE", "auto")

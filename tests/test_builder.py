@@ -1,0 +1,60 @@
+"""SceneBuilder validation + material template tests."""
+import pytest
+
+from nrenderer_tpu import Scene, parse_scn
+from nrenderer_tpu.scene.builder import (
+    SceneBuildError, build_scene, validate_scene,
+)
+from nrenderer_tpu.scene.templates import make_material, template_names
+
+
+GOOD = """Begin Material
+Material A
+Prop diffuseColor RGB 1 0 0
+End
+Begin Model
+Model M
+Sphere S A
+R 5
+End
+"""
+
+
+def test_valid_scene_passes():
+    s = parse_scn(GOOD)
+    assert validate_scene(s) == []
+    snap = build_scene(s)
+    assert snap is not s
+    assert len(snap.sphere_buffer) == 1
+
+
+def test_missing_material_raises():
+    s = parse_scn(GOOD)
+    s.sphere_buffer[0].material = -1
+    with pytest.raises(SceneBuildError, match="no material"):
+        build_scene(s)
+
+
+def test_out_of_range_material():
+    s = parse_scn(GOOD)
+    s.sphere_buffer[0].material = 99
+    problems = validate_scene(s)
+    assert len(problems) == 1 and "out of range" in problems[0]
+
+
+def test_snapshot_is_deep():
+    s = parse_scn(GOOD)
+    snap = build_scene(s)
+    s.sphere_buffer[0].radius = 999.0
+    assert snap.sphere_buffer[0].radius == pytest.approx(5.0)
+
+
+def test_templates():
+    assert set(template_names()) == {"Lambertian", "Phong", "Dielectric",
+                                     "Conductor", "Plastic"}
+    m = make_material("Dielectric", "Glass2")
+    assert m.type == 2
+    assert m.get_property("ior") == pytest.approx(1.5)
+    # dedup semantics preserved
+    from nrenderer_tpu import Property, PropertyType
+    assert not m.register_property(Property("ior", PropertyType.FLOAT, 2.0))
