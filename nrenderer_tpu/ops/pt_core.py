@@ -26,6 +26,55 @@ from .soa import V3, cross3, dot3, normalize3, where3
 PI = 3.14159265358979323846
 
 
+def scene_epsilon(ss: StaticScene, base: float = 1e-6) -> float:
+    """Scale-aware self-intersection epsilon.
+
+    The reference uses a fixed 1e-6 (`SimplePathTracer.cpp:108`) with float
+    math; at Cornell-box coordinates (~1600 units) the float32 ulp is ~1e-4,
+    so a respawned ray can falsely re-hit its own surface depending smoothly
+    on the incident angle — which rendered as a visible ring on the back
+    wall.  Use max(base, 2e-6 * scene_extent): ~3e-3 for the stock Cornell,
+    still sub-millimeter in scene units."""
+    extent = 1.0
+    for (cx, cy, cz, r, _m) in ss.sph:
+        extent = max(extent, abs(cx) + r, abs(cy) + r, abs(cz) + r)
+    for (v1, e1, e2, _n, _m) in ss.tri:
+        for k in range(3):
+            extent = max(extent, abs(float(v1[k])),
+                         abs(float(v1[k] + e1[k])),
+                         abs(float(v1[k] + e2[k])))
+    for (pos, _n, _i0, _i1, _m) in ss.pln:
+        for k in range(3):
+            extent = max(extent, abs(float(pos[k])))
+    return max(base, 2e-6 * extent)
+
+
+def hash_uniform(pixel_id: jnp.ndarray, sample, draw: int,
+                 seed) -> jnp.ndarray:
+    """Stateless counter-based uniform in [0,1): a lowbias32-style integer
+    hash of (pixel, sample, draw-site, seed).
+
+    Used by the Pallas megakernel instead of the TPU hardware PRNG stream —
+    sequential draws from `pltpu.prng_random_bits` showed visible ring
+    correlations in the rendered film; a counter-based hash gives every
+    (pixel, sample, bounce, site) an independent value, exactly like the
+    threefry streams of the XLA engine, at ~6 integer ops."""
+    dconst = (draw * 0x27D4EB2F) & 0xFFFFFFFF
+    if dconst >= 1 << 31:
+        dconst -= 1 << 32
+    x = (pixel_id * jnp.int32(-1640531527)          # 0x9E3779B9 (wrapped)
+         + sample * jnp.int32(-2048144789)          # 0x85EBCA6B
+         + seed * jnp.int32(0x165667B1) + jnp.int32(dconst))
+    x = x ^ jax.lax.shift_right_logical(x, 16)
+    x = x * jnp.int32(0x7FEB352D)
+    x = x ^ jax.lax.shift_right_logical(x, 15)
+    x = x * jnp.int32(-2027558707)                  # 0x846CA68B
+    x = x ^ jax.lax.shift_right_logical(x, 16)
+    # top 24 bits -> [0,1)
+    return (jax.lax.shift_right_logical(x, 8).astype(jnp.float32)
+            * jnp.float32(2 ** -24))
+
+
 def uniform_from_bits(bits: jnp.ndarray) -> jnp.ndarray:
     """uint32 random bits -> float32 uniforms in [0, 1): take the top 24 bits
     (float32 mantissa width) and scale.  The shifted value has a zero sign

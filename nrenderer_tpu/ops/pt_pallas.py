@@ -6,8 +6,9 @@ and film accumulation — runs as ONE `pallas_call`.  Ray state lives in VMEM
 tiles for the whole spp x depth loop; HBM sees exactly one film write per
 pixel tile.  This removes the per-scan-step dispatch overhead and the
 carry-state HBM round trips that bound the XLA wavefront (measured ~1.4 ms
-per bounce step on the axon backend), and replaces threefry with
-`pltpu.prng_random_bits`.
+per bounce step on the axon backend).  Uniforms come from a stateless
+counter-based hash (`pt_core.hash_uniform`) — the hardware PRNG stream
+(`pltpu.prng_random_bits`) showed visible ring correlations in the film.
 
 Grid: one program per tile of SUB x 128 pixels; each program loops spp and
 depth internally (`jax.lax.fori_loop`), accumulating its film tile in VMEM.
@@ -28,7 +29,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .intersect import StaticScene
-from .pt_core import diffuse_bounce, finish_ambient, uniform_from_bits
+from .pt_core import diffuse_bounce, finish_ambient, hash_uniform
 from .soa import V3
 
 # Tile height: SUB x 128 rays per grid step.  Kept small so the bounce
@@ -51,7 +52,7 @@ def _camera_tuple(cam) -> Tuple[float, ...]:
 def _pt_kernel(seed_ref, film_r, film_g, film_b, *, ss: StaticScene,
                cam: Tuple[float, ...], width: int, height: int, spp: int,
                depth: int, t_min: float):
-    pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * jnp.int32(7919))
+    seed = seed_ref[0]
 
     (px0, py0, pz0, llx, lly, llz, hx, hy, hz, vx, vy, vz,
      ux, uy, uz, cvx, cvy, cvz, lens_r) = cam
@@ -65,24 +66,25 @@ def _pt_kernel(seed_ref, film_r, film_g, film_b, *, ss: StaticScene,
     pxf = pxi.astype(jnp.float32)
     pyf = pyi.astype(jnp.float32)
 
-    def rnd():
-        return uniform_from_bits(
-            pltpu.bitcast(pltpu.prng_random_bits((SUB, LANES)), jnp.uint32))
-
     inv_w = jnp.float32(1.0 / width)
     inv_h = jnp.float32(1.0 / height)
 
     def sample_body(sp, film):
         fr, fg, fb = film
+
+        def rnd(draw):
+            # stateless hash RNG: independent per (pixel, sample, site)
+            return hash_uniform(pid, sp, draw, seed)
+
         # pixel jitter in [-1, 1] (UniformInSquare)
-        rx = rnd() * 2.0 - 1.0
-        ry = rnd() * 2.0 - 1.0
+        rx = rnd(0) * 2.0 - 1.0
+        ry = rnd(1) * 2.0 - 1.0
         s = (pxf + rx) * inv_w
         t = (pyf + ry) * inv_h
         if lens_r > 0.0:
             # thin-lens: uniform disk via polar map
-            lr = jnp.sqrt(rnd()) * lens_r
-            phi = rnd() * jnp.float32(2.0 * np.pi)
+            lr = jnp.sqrt(rnd(2)) * lens_r
+            phi = rnd(3) * jnp.float32(2.0 * np.pi)
             du = lr * jnp.cos(phi)
             dv = lr * jnp.sin(phi)
             ox = px0 + du * ux + dv * cvx
@@ -107,8 +109,8 @@ def _pt_kernel(seed_ref, film_r, film_g, film_b, *, ss: StaticScene,
 
         def bounce_body(b, st):
             o, d, thr, rad, alive_f = st
-            u1 = rnd()
-            u2 = rnd()
+            u1 = hash_uniform(pid, sp, 4, seed + b * jnp.int32(-1640531535))
+            u2 = hash_uniform(pid, sp, 5, seed + b * jnp.int32(-1640531535))
             o, d, thr, rad, alive = diffuse_bounce(
                 ss, albedo_ch, o, d, thr, rad, alive_f > 0.5, u1, u2,
                 t_min=t_min)
@@ -161,11 +163,14 @@ def _build_pallas_pt(ss: StaticScene, cam: Tuple[float, ...], width: int,
 
 def render_simple_pt_pallas(ss: StaticScene, cam, width: int, height: int,
                             spp: int, depth: int, seed: int = 0,
-                            t_min: float = 1e-6) -> jnp.ndarray:
+                            t_min: float = None) -> jnp.ndarray:
     """Full diffuse-PT render via the Pallas megakernel.
 
     Returns (H, W, 3) gamma'd image, row 0 = BOTTOM (same contract as
     renderers.simple_pt.build_render_fn)."""
+    if t_min is None:
+        from .pt_core import scene_epsilon
+        t_min = scene_epsilon(ss)
     run = _build_pallas_pt(_hashable_static_scene(ss), _camera_tuple(cam),
                            width, height, spp, depth, t_min)
     return run(jnp.asarray([seed], jnp.int32))

@@ -34,7 +34,9 @@ from ..ops.intersect import (
     T_MIN_PT, StaticScene, intersect_area_lights_unrolled,
     intersect_scene_unrolled, make_static_scene,
 )
-from ..ops.pt_core import bsdf_bounce, finish_ambient, make_mat_channels
+from ..ops.pt_core import (
+    bsdf_bounce, finish_ambient, make_mat_channels, scene_epsilon,
+)
 from ..ops.sampling import make_base_key, uniform_circle
 from ..ops.soa import V3, to_array
 from ..scene.arrays import SceneArrays, build_scene_arrays
@@ -47,7 +49,8 @@ BVH_THRESHOLD = 64
 
 
 def trace_bsdf_wavefront(ss: StaticScene, o: V3, d: V3, key, depth: int,
-                         env_map=None, tri_bvh=None) -> V3:
+                         env_map=None, tri_bvh=None,
+                         t_min: float = None) -> V3:
     """(N,)-ray wavefront with the 4-BSDF dispatch; returns V3 radiance.
     `tri_bvh`: optional (FlatBVH, TrianglePack) routing the triangle pool
     through the stackless BVH walk (mesh-heavy scenes)."""
@@ -58,15 +61,17 @@ def trace_bsdf_wavefront(ss: StaticScene, o: V3, d: V3, key, depth: int,
     radiance = V3(zeros, zeros, zeros)
     alive = jnp.ones((n,), jnp.bool_)
     mat_ch = make_mat_channels(ss)
+    if t_min is None:
+        t_min = scene_epsilon(ss, T_MIN_PT)
 
     def bounce(carry, b):
         o, d, throughput, radiance, alive = carry
         kb = jax.random.fold_in(key, b)
         k1, k2, k3 = jax.random.split(kb, 3)
         if env_map is not None:
-            hit_pre = intersect_scene_unrolled(ss, o, d, t_min=T_MIN_PT)
+            hit_pre = intersect_scene_unrolled(ss, o, d, t_min=t_min)
             t_l_pre, _ = intersect_area_lights_unrolled(ss, o, d,
-                                                        t_min=T_MIN_PT)
+                                                        t_min=t_min)
             miss = (alive & ~(hit_pre.valid & (hit_pre.t < t_l_pre))
                     & ~jnp.isfinite(t_l_pre))
             env = sample_env_map_v3(env_map, d)
@@ -79,7 +84,7 @@ def trace_bsdf_wavefront(ss: StaticScene, o: V3, d: V3, key, depth: int,
         u3 = jax.random.uniform(k3, (n,))
         o, d, throughput, radiance, alive = bsdf_bounce(
             ss, mat_ch, o, d, throughput, radiance, alive, u1, u2, u3,
-            t_min=T_MIN_PT, tri_bvh=tri_bvh)
+            t_min=t_min, tri_bvh=tri_bvh)
         return (o, d, throughput, radiance, alive), None
 
     (o, d, throughput, radiance, alive), _ = jax.lax.scan(

@@ -47,7 +47,7 @@ from ..ops.intersect import (
     T_MIN_PT, StaticScene, intersect_area_lights_unrolled,
     intersect_scene_unrolled, make_static_scene,
 )
-from ..ops.pt_core import diffuse_bounce, finish_ambient
+from ..ops.pt_core import diffuse_bounce, finish_ambient, scene_epsilon
 from ..ops.sampling import make_base_key, uniform_circle
 from ..ops.soa import V3, to_array
 from ..scene.arrays import SceneArrays, build_scene_arrays
@@ -57,7 +57,7 @@ from ..server.registry import get_server, register_renderer
 
 
 def trace_diffuse_wavefront(ss: StaticScene, o: V3, d: V3, key, depth: int,
-                            env_map=None) -> V3:
+                            env_map=None, t_min: float = None) -> V3:
     """Trace an (N,)-ray wavefront for `depth` diffuse bounces; returns V3
     radiance.  `env_map` (traced (He,We,3) array) enables env-map misses.
 
@@ -71,6 +71,8 @@ def trace_diffuse_wavefront(ss: StaticScene, o: V3, d: V3, key, depth: int,
     radiance = V3(zeros, zeros, zeros)
     alive = jnp.ones((n,), jnp.bool_)
     albedo_ch = [tuple(m["diffuse"]) for m in ss.mats]
+    if t_min is None:
+        t_min = scene_epsilon(ss, T_MIN_PT)
 
     def bounce(carry, b):
         o, d, throughput, radiance, alive = carry
@@ -78,9 +80,9 @@ def trace_diffuse_wavefront(ss: StaticScene, o: V3, d: V3, key, depth: int,
         k1, k2 = jax.random.split(kb)
         if env_map is not None:
             # env contribution must be recorded before the state update
-            hit_pre = intersect_scene_unrolled(ss, o, d, t_min=T_MIN_PT)
+            hit_pre = intersect_scene_unrolled(ss, o, d, t_min=t_min)
             t_l_pre, _ = intersect_area_lights_unrolled(ss, o, d,
-                                                        t_min=T_MIN_PT)
+                                                        t_min=t_min)
             miss = (alive & ~(hit_pre.valid & (hit_pre.t < t_l_pre))
                     & ~jnp.isfinite(t_l_pre))
             env = sample_env_map_v3(env_map, d)
@@ -92,7 +94,7 @@ def trace_diffuse_wavefront(ss: StaticScene, o: V3, d: V3, key, depth: int,
         u2 = jax.random.uniform(k2, (n,))
         o, d, throughput, radiance, alive = diffuse_bounce(
             ss, albedo_ch, o, d, throughput, radiance, alive, u1, u2,
-            t_min=T_MIN_PT)
+            t_min=t_min)
         return (o, d, throughput, radiance, alive), None
 
     (o, d, throughput, radiance, alive), _ = jax.lax.scan(
