@@ -29,7 +29,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .intersect import StaticScene
-from .pt_core import diffuse_bounce, finish_ambient, hash_uniform
+from .pt_core import (
+    bsdf_bounce, diffuse_bounce, finish_ambient, hash_uniform,
+    make_mat_channels,
+)
 from .soa import V3
 
 # Tile height: SUB x 128 rays per grid step.  Kept small so the bounce
@@ -51,12 +54,18 @@ def _camera_tuple(cam) -> Tuple[float, ...]:
 
 def _pt_kernel(seed_ref, film_r, film_g, film_b, *, ss: StaticScene,
                cam: Tuple[float, ...], width: int, height: int, spp: int,
-               depth: int, t_min: float):
+               depth: int, t_min: float, bsdf: bool = False):
+    """`bsdf=False`: SimplePathTracer (diffuse-only).  `bsdf=True`:
+    AccPathTracer's 4-lobe dispatch (pt_core.bsdf_bounce) — same kernel
+    skeleton, one extra uniform per bounce."""
     seed = seed_ref[0]
 
     (px0, py0, pz0, llx, lly, llz, hx, hy, hz, vx, vy, vz,
      ux, uy, uz, cvx, cvy, cvz, lens_r) = cam
-    albedo_ch = [tuple(float(v) for v in m["diffuse"]) for m in ss.mats]
+    if bsdf:
+        mat_ch = make_mat_channels(ss)
+    else:
+        albedo_ch = [tuple(float(v) for v in m["diffuse"]) for m in ss.mats]
 
     pid = (pl.program_id(0) * (SUB * LANES)
            + jax.lax.broadcasted_iota(jnp.int32, (SUB, LANES), 0) * LANES
@@ -109,11 +118,18 @@ def _pt_kernel(seed_ref, film_r, film_g, film_b, *, ss: StaticScene,
 
         def bounce_body(b, st):
             o, d, thr, rad, alive_f = st
-            u1 = hash_uniform(pid, sp, 4, seed + b * jnp.int32(-1640531535))
-            u2 = hash_uniform(pid, sp, 5, seed + b * jnp.int32(-1640531535))
-            o, d, thr, rad, alive = diffuse_bounce(
-                ss, albedo_ch, o, d, thr, rad, alive_f > 0.5, u1, u2,
-                t_min=t_min)
+            bseed = seed + b * jnp.int32(-1640531535)
+            u1 = hash_uniform(pid, sp, 4, bseed)
+            u2 = hash_uniform(pid, sp, 5, bseed)
+            if bsdf:
+                u3 = hash_uniform(pid, sp, 6, bseed)
+                o, d, thr, rad, alive = bsdf_bounce(
+                    ss, mat_ch, o, d, thr, rad, alive_f > 0.5, u1, u2, u3,
+                    t_min=t_min)
+            else:
+                o, d, thr, rad, alive = diffuse_bounce(
+                    ss, albedo_ch, o, d, thr, rad, alive_f > 0.5, u1, u2,
+                    t_min=t_min)
             return (o, d, thr, rad, alive.astype(jnp.float32))
 
         o, d, thr, rad, alive_f = jax.lax.fori_loop(0, depth, bounce_body,
@@ -132,14 +148,15 @@ def _pt_kernel(seed_ref, film_r, film_g, film_b, *, ss: StaticScene,
 
 @functools.lru_cache(maxsize=32)
 def _build_pallas_pt(ss: StaticScene, cam: Tuple[float, ...], width: int,
-                     height: int, spp: int, depth: int, t_min: float):
+                     height: int, spp: int, depth: int, t_min: float,
+                     bsdf: bool = False):
     n_pix = width * height
     tile = SUB * LANES
     n_tiles = pl.cdiv(n_pix, tile)
 
     kernel = functools.partial(_pt_kernel, ss=ss, cam=cam, width=width,
                                height=height, spp=spp, depth=depth,
-                               t_min=t_min)
+                               t_min=t_min, bsdf=bsdf)
     film_shape = jax.ShapeDtypeStruct((n_tiles, SUB, LANES), jnp.float32)
     block = pl.BlockSpec((1, SUB, LANES), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
@@ -173,6 +190,21 @@ def render_simple_pt_pallas(ss: StaticScene, cam, width: int, height: int,
         t_min = scene_epsilon(ss)
     run = _build_pallas_pt(_hashable_static_scene(ss), _camera_tuple(cam),
                            width, height, spp, depth, t_min)
+    return run(jnp.asarray([seed], jnp.int32))
+
+
+def render_bsdf_pt_pallas(ss: StaticScene, cam, width: int, height: int,
+                          spp: int, depth: int, seed: int = 0,
+                          t_min: float = None) -> jnp.ndarray:
+    """AccPathTracer's 4-BSDF estimator via the Pallas megakernel (no mesh
+    BVH path inside the kernel yet — the acc renderer uses this engine only
+    for brute-force-size scenes).  Same output contract as
+    render_simple_pt_pallas."""
+    if t_min is None:
+        from .pt_core import scene_epsilon
+        t_min = scene_epsilon(ss)
+    run = _build_pallas_pt(_hashable_static_scene(ss), _camera_tuple(cam),
+                           width, height, spp, depth, t_min, bsdf=True)
     return run(jnp.asarray([seed], jnp.int32))
 
 

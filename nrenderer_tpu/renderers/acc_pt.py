@@ -169,6 +169,7 @@ class AccPathTracerRenderer(RenderComponent):
         ro = scene.render_option
         w, h, spp, depth = (ro.width, ro.height, ro.samples_per_pixel,
                             ro.depth)
+        import os
         arrays = build_scene_arrays(scene)
         ss = make_static_scene(arrays)
         cam = make_camera(scene.camera)
@@ -178,6 +179,20 @@ class AccPathTracerRenderer(RenderComponent):
         # mesh-heavy scenes route triangles through the BVH; small prim sets
         # stay on the (faster) unrolled brute force
         n_tri = int(np.asarray(arrays.tri_valid).sum())
+        engine = os.environ.get("NR_ENGINE", "auto")
+        use_pallas = (engine != "xla"
+                      and jax.default_backend() not in ("cpu",)
+                      and not use_env and n_tri <= BVH_THRESHOLD)
+        if use_pallas:
+            from ..ops.pt_pallas import render_bsdf_pt_pallas
+            img = np.asarray(render_bsdf_pt_pallas(ss, cam, w, h, spp,
+                                                   depth, seed=self.seed))
+            img = img[::-1]
+            img = np.clip(img, 0.0, 1.0)
+            get_server().logger.log("Done...")
+            rgba = np.concatenate(
+                [img, np.ones((h, w, 1), np.float32)], axis=2)
+            return RenderResult(pixels=rgba, width=w, height=h)
         use_bvh = n_tri > BVH_THRESHOLD
         tri_bvh = None
         if use_bvh:
