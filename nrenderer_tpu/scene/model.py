@@ -244,11 +244,22 @@ class Camera:
 
 @dataclass
 class RenderOption:
-    """UI defaults (`RenderSettingsManager.hpp:20-24`: depth=20, spp=16, 500x500)."""
+    """UI defaults (`RenderSettingsManager.hpp:20-24`: depth=20, spp=16, 500x500).
+
+    `acc_type` and the global material knobs (roughness/f0/metalness/
+    shade_type) mirror the reference's `RenderOption`/`RenderSettings`
+    fields (`Scene.hpp:13-27`, `RenderSettingsManager.hpp:9-29`); like the
+    reference's shipped shaders, renderers prefer per-material properties
+    over these globals."""
     width: int = 500
     height: int = 500
     depth: int = 20
     samples_per_pixel: int = 16
+    acc_type: int = 1
+    roughness: float = 0.0
+    f0: float = 0.04
+    metalness: float = 0.0
+    shade_type: int = 0
 
 
 class AmbientType(enum.Enum):
