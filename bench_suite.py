@@ -1,0 +1,142 @@
+"""Full benchmark suite over the BASELINE.json configs.
+
+Runs every headline workload on the available accelerator and writes a
+markdown table to BENCH.md (and prints it).  `bench.py` remains the driver's
+single-line north-star benchmark; this is the human-facing suite.
+
+    python bench_suite.py [--quick]
+"""
+import json
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
+
+import numpy as np
+
+RES = "/root/reference/resource"
+
+
+def timed(fn, *args, warmup=True, **kw):
+    if warmup:
+        np.asarray(fn(*args, **kw))
+    t0 = time.perf_counter()
+    out = np.asarray(fn(*args, **kw))
+    return time.perf_counter() - t0, out
+
+
+def main() -> int:
+    quick = "--quick" in sys.argv
+    import jax
+    from nrenderer_tpu import load_scn, load_obj, build_scene_arrays
+    from nrenderer_tpu.ops.camera import make_camera
+    from nrenderer_tpu.ops.intersect import make_static_scene
+    from nrenderer_tpu.ops.pt_pallas import (
+        render_bsdf_pt_pallas, render_simple_pt_pallas,
+    )
+    import nrenderer_tpu
+    nrenderer_tpu._register_builtin_renderers()
+
+    backend = jax.default_backend()
+    size = 128 if quick or backend == "cpu" else 512
+    spp = 64 if quick or backend == "cpu" else 2048
+    rows = []
+
+    def setup(name):
+        scene = load_scn(f"{RES}/{name}")
+        arr = build_scene_arrays(scene)
+        return scene, arr, make_static_scene(arr), make_camera(scene.camera)
+
+    # 1. RayCast (config 1)
+    from nrenderer_tpu.renderers.raycast import render_raycast
+    scene, arr, ss, cam = setup("ray_cast_cornel.scn")
+    dt, img = timed(render_raycast, arr, cam, size, size)
+    rows.append(("RayCast cornel", f"{size}x{size}, 1 spp", dt,
+                 f"{size * size / dt / 1e6:.0f} Mray/s"))
+
+    # 2. SimplePathTracer north star (config 2)
+    scene, arr, ss, cam = setup("path_tracing_cornel.scn")
+    if backend == "cpu":
+        from nrenderer_tpu.renderers.simple_pt import (
+            get_render_fn, pick_chunk)
+        from nrenderer_tpu.ops.sampling import make_base_key
+        chunk = pick_chunk(size, size, spp)
+        fn = get_render_fn(ss, size, size, spp, 8, chunk, False, False)
+        dt, img = timed(lambda: fn(cam, arr.env_map, make_base_key(1)))
+        depth = 8
+    else:
+        depth = 20
+        dt, img = timed(render_simple_pt_pallas, ss, cam, size, size, spp,
+                        depth, seed=1)
+    rows.append(("PT cornel (north star)", f"{size}x{size}, {spp} spp, "
+                 f"depth {depth}", dt, f"{spp / dt:.0f} spp/s"))
+
+    # 3. Glass/conductor BSDFs (config 3)
+    scene, arr, ss, cam = setup("pt_glass.scn")
+    if backend == "cpu":
+        from nrenderer_tpu.renderers.acc_pt import get_render_fn as acc_fn
+        from nrenderer_tpu.renderers.simple_pt import pick_chunk
+        from nrenderer_tpu.ops.sampling import make_base_key
+        chunk = pick_chunk(size, size, spp)
+        fn = acc_fn(ss, size, size, spp, 8, chunk, False, False, False)
+        dt, img = timed(lambda: fn(cam, arr.env_map, make_base_key(1), None))
+    else:
+        dt, img = timed(render_bsdf_pt_pallas, ss, cam, size, size, spp, 20,
+                        seed=1)
+    rows.append(("AccPT pt_glass (BSDFs)", f"{size}x{size}, {spp} spp", dt,
+                 f"{spp / dt:.0f} spp/s"))
+
+    # 4. Bunny mesh (config 4) — smaller spp, extrapolable
+    from nrenderer_tpu.renderers.acc_pt import AccPathTracerRenderer
+    scene = load_scn(f"{RES}/path_tracing_cornel.scn")
+    load_obj(f"{RES}/obj/bunny_5k_faces.obj", scene, material=0)
+    m = scene.models[-1]
+    m.scale = (600.0,) * 3
+    m.translation = (40.0, -305.0, 920.0)
+    ro = scene.render_option
+    ro.width = ro.height = min(size, 256)
+    ro.samples_per_pixel = 8 if backend != "cpu" else 2
+    ro.depth = 8
+    r = AccPathTracerRenderer(seed=0)
+    r.render(scene)  # compile
+    t0 = time.perf_counter()
+    AccPathTracerRenderer(seed=1).render(scene)
+    dt = time.perf_counter() - t0
+    rows.append(("AccPT bunny-5k (mesh)", f"{ro.width}x{ro.height}, "
+                 f"{ro.samples_per_pixel} spp, depth 8", dt,
+                 f"{ro.samples_per_pixel / dt:.2f} spp/s"))
+
+    # 5. MLT (config 5)
+    from nrenderer_tpu.renderers.mlt import render_mlt
+    scene = load_scn(f"{RES}/Metropolis.scn")
+    ro = scene.render_option
+    ro.width = ro.height = min(size, 256)
+    ro.depth = 8 if backend == "cpu" else 20
+    chains = 256 if backend == "cpu" else 4096
+    muts = 16 if backend == "cpu" else 128
+    t0 = time.perf_counter()
+    render_mlt(scene, chains=chains, mutations=muts,
+               n_init=2048 if backend == "cpu" else 10000, seed=0)
+    dt = time.perf_counter() - t0
+    rows.append(("MLT Metropolis.scn", f"{ro.width}x{ro.height}, "
+                 f"{chains}x{muts} mutations", dt,
+                 f"{chains * muts / dt / 1e3:.1f} Kmut/s"))
+
+    lines = [f"# Benchmarks ({backend})", "",
+             "| Workload | Config | Wall | Rate |", "|---|---|---|---|"]
+    for name, cfg, dt, rate in rows:
+        lines.append(f"| {name} | {cfg} | {dt:.2f}s | {rate} |")
+    lines += ["",
+              "Reference points: BVH bunny-5k 500x500 256spp = 1330s; "
+              "MLT 16M mutations = 19573s (both from the reference's own "
+              "run logs in results/*.png); north-star target < 10s."]
+    text = "\n".join(lines) + "\n"
+    print(text)
+    if backend != "cpu" and not quick:
+        pathlib.Path("BENCH.md").write_text(text)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
