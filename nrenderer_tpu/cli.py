@@ -76,10 +76,27 @@ def _cmd_render(args) -> int:
     except (ScnParseError, ObjParseError) as exc:
         print(f"error: scene import failed: {exc}", file=sys.stderr)
         return 2
+
+    if args.devices > 1 and args.renderer == "SimplePathTracer":
+        return _render_multichip(args, scene)
+
+    component = None
+    if args.renderer == "MetropolisLightTransport" and (args.chains
+                                                        or args.mutations):
+        from .renderers.mlt import MetropolisRenderer
+        component = MetropolisRenderer(seed=args.seed, chains=args.chains,
+                                       mutations=args.mutations)
+    elif args.renderer == "SimplePathTracer" and (args.progressive
+                                                  or args.checkpoint):
+        from .renderers.simple_pt import SimplePathTracerRenderer
+        component = SimplePathTracerRenderer(
+            seed=args.seed, checkpoint_path=args.checkpoint,
+            progressive=True)
+
     mgr = ComponentManager()
     t0 = time.perf_counter()
     try:
-        mgr.exec(args.renderer, scene)
+        mgr.exec(args.renderer, scene, component=component)
     except UnknownComponentError:
         names = ", ".join(
             i.name for i in
@@ -97,6 +114,38 @@ def _cmd_render(args) -> int:
     print(f"{args.renderer}: {args.width}x{args.height} spp={args.spp} "
           f"depth={args.depth} in {wall:.2f}s "
           f"({n_rays / wall / 1e6:.1f} Mpaths/s) -> {args.out}")
+    return 0
+
+
+def _render_multichip(args, scene) -> int:
+    """Sample-parallel render over N local devices (parallel/mesh.py)."""
+    import time as _time
+    import numpy as np
+    import jax
+    from .scene.arrays import build_scene_arrays
+    from .ops.camera import make_camera
+    from .ops.intersect import make_static_scene
+    from .parallel.mesh import make_mesh, render_multichip
+    from .io.image import write_png
+
+    n_dev = len(jax.devices())
+    if args.devices > n_dev:
+        print(f"error: {args.devices} devices requested, {n_dev} available",
+              file=sys.stderr)
+        return 2
+    arrays = build_scene_arrays(scene)
+    ss = make_static_scene(arrays)
+    cam = make_camera(scene.camera)
+    mesh = make_mesh(args.devices)
+    t0 = _time.perf_counter()
+    img = np.asarray(render_multichip(
+        ss, cam, args.width, args.height, args.spp, args.depth, mesh=mesh,
+        seed=args.seed))[::-1]
+    wall = _time.perf_counter() - t0
+    write_png(args.out, np.clip(img, 0.0, 1.0))
+    print(f"SimplePathTracer[{args.devices} devices]: "
+          f"{args.width}x{args.height} spp={args.spp} in {wall:.2f}s "
+          f"-> {args.out}")
     return 0
 
 
@@ -132,6 +181,18 @@ def main(argv=None) -> int:
     pr.add_argument("--ambient", nargs=3, type=float,
                     help="constant ambient RGB")
     pr.add_argument("--env-map", help="environment map image")
+    pr.add_argument("--seed", type=int, default=0)
+    pr.add_argument("--progressive", action="store_true",
+                    help="render in passes with live Screen previews")
+    pr.add_argument("--checkpoint",
+                    help="checkpoint file for resumable rendering")
+    pr.add_argument("--devices", type=int, default=1,
+                    help="shard the sample budget over N devices "
+                         "(SimplePathTracer)")
+    pr.add_argument("--chains", type=int,
+                    help="MLT: parallel Markov chains (default 1024)")
+    pr.add_argument("--mutations", type=int,
+                    help="MLT: mutations per chain (default 256)")
     pr.set_defaults(fn=_cmd_render)
 
     pl = sub.add_parser("list-renderers", help="list registered renderers")
