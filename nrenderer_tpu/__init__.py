@@ -16,6 +16,8 @@ from .scene.model import (  # noqa: F401
     Property, PropertyType, RenderOption, Scene, Sphere, SpotLight, Texture,
 )
 from .scene.arrays import SceneArrays, build_scene_arrays  # noqa: F401
+from .scene.builder import SceneBuildError, build_scene, validate_scene  # noqa: F401
+from .scene.templates import make_material, template_names  # noqa: F401
 from .io.scn import load_scn, parse_scn, ScnParseError  # noqa: F401
 from .io.obj import load_obj, ObjParseError  # noqa: F401
 
