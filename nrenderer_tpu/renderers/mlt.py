@@ -610,14 +610,17 @@ def render_mlt(scene: Scene, chains: int = 1024, mutations: int = 256,
     n_combo = kern.combos.shape[0]
     key = make_base_key(seed)
 
+    # the mutation budget is split into fixed-size compiled blocks so any
+    # budget reuses one compile (the block fn is resumable: carry in/out)
+    block = min(mutations, int(__import__("os").environ.get(
+        "NR_MLT_BLOCK", "128")))
     cache_key = hashlib.sha1(repr(
         (ss, camera, width, height, max_path, emitted, light_pos, light_u,
-         light_v, chains, mutations, n_init)).encode()).hexdigest()
+         light_v, chains, n_init, block)).encode()).hexdigest()
     cached = _MLT_FN_CACHE.get(cache_key)
     if cached is not None:
-        estimate_b, run_chains = cached
-        return _finish_mlt(estimate_b, run_chains, key, width, height,
-                           chains, mutations)
+        return _finish_mlt(*cached, key, width, height, chains, mutations,
+                           block)
 
     @jax.jit
     def estimate_b(key):
@@ -632,28 +635,33 @@ def render_mlt(scene: Scene, chains: int = 1024, mutations: int = 256,
                                 jnp.arange(steps, dtype=jnp.int32))
         return total / (steps * chains)
 
+    def splat(film, contribs, weight):
+        px, py, cr, cg, cb, valid = contribs
+        ix = px.astype(jnp.int32)
+        iy = py.astype(jnp.int32)
+        ok = (valid & (ix >= 0) & (ix < width) & (iy >= 0)
+              & (iy < height))
+        flat = jnp.where(ok, iy * width + ix, n_pix)  # n_pix = dropped
+        w = weight[None, :]
+        vals = jnp.stack([cr * w, cg * w, cb * w], axis=-1)
+        return film.at[flat.reshape(-1)].add(
+            vals.reshape(-1, 3), mode="drop")
+
     @jax.jit
-    def run_chains(key, b):
-        k_init, k_loop = jax.random.split(key)
-        u_cur = jax.random.uniform(k_init, (ns, chains))
+    def init_chains(key):
+        u_cur = jax.random.uniform(key, (ns, chains))
         contribs, sc_cur = kern.sample(u_cur)
         film = jnp.zeros((n_pix, 3))
+        w_acc = jnp.zeros((chains,))
+        return (film, u_cur, contribs, sc_cur, w_acc)
 
-        def splat(film, contribs, weight):
-            px, py, cr, cg, cb, valid = contribs
-            ix = px.astype(jnp.int32)
-            iy = py.astype(jnp.int32)
-            ok = (valid & (ix >= 0) & (ix < width) & (iy >= 0)
-                  & (iy < height))
-            flat = jnp.where(ok, iy * width + ix, n_pix)  # n_pix = dropped
-            w = weight[None, :]
-            vals = jnp.stack([cr * w, cg * w, cb * w], axis=-1)
-            return film.at[flat.reshape(-1)].add(
-                vals.reshape(-1, 3), mode="drop")
+    @jax.jit
+    def run_block(key, b, carry):
+        """One compiled block of `block` mutations; resumable carry."""
 
         def step(carry, i):
             film, u_cur, cur_contribs, sc_cur, w_acc = carry
-            k = jax.random.fold_in(k_loop, i)
+            k = jax.random.fold_in(key, i)
             k1, k2, k3 = jax.random.split(k, 3)
             is_large = jax.random.uniform(k1, (chains,)) <= LARGE_STEP_PROB
             u_fresh = jax.random.uniform(k2, (ns, chains))
@@ -692,24 +700,26 @@ def render_mlt(scene: Scene, chains: int = 1024, mutations: int = 256,
             w_acc = jnp.where(accept, w_prop, w_acc)
             return (film, u_cur, new_contribs, sc_cur, w_acc), None
 
-        w_acc = jnp.zeros((chains,))
-        (film, u_cur, cur_contribs, sc_cur, w_acc), _ = jax.lax.scan(
-            step, (film, u_cur, contribs, sc_cur, w_acc),
-            jnp.arange(mutations, dtype=jnp.int32))
-        # flush the final retained paths
-        film = splat(film, cur_contribs, w_acc)
-        return film
+        carry, _ = jax.lax.scan(step, carry,
+                                jnp.arange(block, dtype=jnp.int32))
+        return carry
 
-    _MLT_FN_CACHE[cache_key] = (estimate_b, run_chains)
-    return _finish_mlt(estimate_b, run_chains, key, width, height, chains,
-                       mutations)
+    @jax.jit
+    def flush_film(carry):
+        film, u_cur, cur_contribs, sc_cur, w_acc = carry
+        return splat(film, cur_contribs, w_acc)
+
+    _MLT_FN_CACHE[cache_key] = (estimate_b, init_chains, run_block,
+                                flush_film)
+    return _finish_mlt(estimate_b, init_chains, run_block, flush_film, key,
+                       width, height, chains, mutations, block)
 
 
 _MLT_FN_CACHE: Dict[str, tuple] = {}
 
 
-def _finish_mlt(estimate_b, run_chains, key, width, height, chains,
-                mutations) -> np.ndarray:
+def _finish_mlt(estimate_b, init_chains, run_block, flush_film, key, width,
+                height, chains, mutations, block) -> np.ndarray:
     import os
     import time as _time
     debug = os.environ.get("NR_MLT_DEBUG") == "1"
@@ -723,13 +733,20 @@ def _finish_mlt(estimate_b, run_chains, key, width, height, chains,
     get_server().logger.log(f"MLT: b = {b:.6g}")
 
     t0 = _time.perf_counter()
-    film = np.asarray(run_chains(key, b)).reshape(height, width, 3)
+    import jax as _jax
+    k_init, k_loop = _jax.random.split(key)
+    carry = init_chains(k_init)
+    n_blocks = max(1, mutations // block)
+    for i in range(n_blocks):
+        carry = run_block(_jax.random.fold_in(k_loop, i), b, carry)
+    film = np.asarray(flush_film(carry)).reshape(height, width, 3)
+    total_mut = n_blocks * block
     if debug:
-        print(f"MLT: chain-phase {_time.perf_counter() - t0:.1f}s "
-              f"({chains * mutations / (_time.perf_counter() - t0) / 1e3:.1f}"
-              " Kmut/s)", flush=True)
+        dt = _time.perf_counter() - t0
+        print(f"MLT: chain-phase {dt:.1f}s "
+              f"({chains * total_mut / dt / 1e3:.1f} Kmut/s)", flush=True)
     # exposure tone map (`Metropolis.cpp:110-124`): s = w*h / total samples
-    samps = chains * mutations
+    samps = chains * total_mut
     s = float(width * height) / float(samps)
     rgb = np.power(np.clip(1.0 - np.exp(-film * s), 0.0, 1.0), 1.0 / 2.2)
     rgba = np.concatenate([rgb, np.ones((height, width, 1), np.float32)],
