@@ -107,17 +107,19 @@ def main() -> int:
                  f"{ro.samples_per_pixel} spp, depth 8", dt,
                  f"{ro.samples_per_pixel / dt:.2f} spp/s"))
 
-    # 5. MLT (config 5)
+    # 5. MLT (config 5) — warm the block compile, then measure steady state
     from nrenderer_tpu.renderers.mlt import render_mlt
     scene = load_scn(f"{RES}/Metropolis.scn")
     ro = scene.render_option
     ro.width = ro.height = min(size, 256)
     ro.depth = 8 if backend == "cpu" else 20
     chains = 256 if backend == "cpu" else 4096
-    muts = 16 if backend == "cpu" else 128
+    muts = 16 if backend == "cpu" else 1024
+    n_init = 2048 if backend == "cpu" else 10000
+    render_mlt(scene, chains=chains, mutations=min(muts, 128), n_init=n_init,
+               seed=0)  # compile
     t0 = time.perf_counter()
-    render_mlt(scene, chains=chains, mutations=muts,
-               n_init=2048 if backend == "cpu" else 10000, seed=0)
+    render_mlt(scene, chains=chains, mutations=muts, n_init=n_init, seed=1)
     dt = time.perf_counter() - t0
     rows.append(("MLT Metropolis.scn", f"{ro.width}x{ro.height}, "
                  f"{chains}x{muts} mutations", dt,
