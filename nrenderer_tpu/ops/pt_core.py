@@ -427,27 +427,36 @@ def bsdf_bounce(ss: StaticScene, mat_ch, o: V3, d: V3, throughput: V3,
     eta_r = V3(err, erg, erb)
     eta_i = V3(eir, eig, eib)
 
-    # Lambertian lobe
+    # Which lobes can occur is a SCENE constant (material types are static):
+    # only evaluate those — an all-Lambertian mesh scene skips the conductor/
+    # glass/microfacet math entirely (the reference's virtual dispatch never
+    # paid for absent types either).
+    present = {int(m["type"]) for m in ss.mats}
+    lobes = []  # (type id, direction V3, weight V3)
     local = hemisphere_from_uv(u1, u2)
     d_diff = normalize3(onb_local(hit.normal, local), eps=1e-20)
     cos = dot3(hit.normal, d_diff)
-    w_diff = V3(diffuse.x * 2.0 * cos, diffuse.y * 2.0 * cos,
-                diffuse.z * 2.0 * cos)
-    # conductor lobe
-    d_cond, w_cond = conductor_scatter(d, hit.normal, eta_r, eta_i, albedo)
-    # glass lobe
-    d_glass, w_glass = glass_scatter(d, hit.normal, ior, absorbed, u3)
-    # microfacet lobe
-    d_micro, w_micro = microfacet_scatter(d, hit.normal, albedo, rough, f0,
-                                          metal, u1, u2)
+    lobes.append((0, d_diff, V3(diffuse.x * 2.0 * cos, diffuse.y * 2.0 * cos,
+                                diffuse.z * 2.0 * cos)))
+    if 1 in present:
+        d_cond, w_cond = conductor_scatter(d, hit.normal, eta_r, eta_i,
+                                           albedo)
+        lobes.append((1, d_cond, w_cond))
+    if 2 in present:
+        d_glass, w_glass = glass_scatter(d, hit.normal, ior, absorbed, u3)
+        lobes.append((2, d_glass, w_glass))
+    if 3 in present or not present.issubset({0, 1, 2, 3}):
+        d_micro, w_micro = microfacet_scatter(d, hit.normal, albedo, rough,
+                                              f0, metal, u1, u2)
+        lobes.append((3, d_micro, w_micro))
 
-    is0 = mtype < 0.5
-    is1 = (mtype >= 0.5) & (mtype < 1.5)
-    is2 = (mtype >= 1.5) & (mtype < 2.5)
-    new_d = where3(is0, d_diff,
-                   where3(is1, d_cond, where3(is2, d_glass, d_micro)))
-    w = where3(is0, w_diff,
-               where3(is1, w_cond, where3(is2, w_glass, w_micro)))
+    new_d, w = lobes[0][1], lobes[0][2]
+    for i, (type_id, ld, lw) in enumerate(lobes[1:], start=1):
+        sel = mtype >= type_id - 0.5
+        if i < len(lobes) - 1:  # last listed lobe catches higher types
+            sel = sel & (mtype < type_id + 0.5)
+        new_d = where3(sel, ld, new_d)
+        w = where3(sel, lw, w)
 
     throughput = V3(throughput.x * jnp.where(obj_first, w.x, 1.0),
                     throughput.y * jnp.where(obj_first, w.y, 1.0),

@@ -96,10 +96,12 @@ def trace_bsdf_wavefront(ss: StaticScene, o: V3, d: V3, key, depth: int,
 
 def build_render_fn(ss: StaticScene, width: int, height: int, spp: int,
                     depth: int, chunk: int, has_lens: bool, use_env: bool,
-                    use_bvh: bool = False) -> Callable:
+                    use_bvh: bool = False, linear: bool = False) -> Callable:
     """Compile a full-render function closed over the static scene.
     Returns fn(cam, env_map, key, tri_bvh) -> (H, W, 3), row 0 = BOTTOM.
-    `tri_bvh` must be None iff use_bvh is False."""
+    `tri_bvh` must be None iff use_bvh is False.  With `linear=True` the
+    gamma is skipped and the LINEAR film SUM over `spp` samples is returned
+    as (n_pix, 3) — used for chunked/progressive accumulation."""
     n_pix = width * height
     n_rays = n_pix * chunk
     n_steps = spp // chunk
@@ -136,6 +138,8 @@ def build_render_fn(ss: StaticScene, width: int, height: int, spp: int,
         zeros = jnp.zeros((n_pix,), jnp.float32)
         (fx, fy, fz), _ = jax.lax.scan(
             step, (zeros, zeros, zeros), jnp.arange(n_steps, dtype=jnp.int32))
+        if linear:
+            return to_array(V3(fx, fy, fz)).reshape(n_pix, 3)
         inv = 1.0 / float(spp)
         color = V3(jnp.sqrt(jnp.maximum(fx * inv, 0.0)),
                    jnp.sqrt(jnp.maximum(fy * inv, 0.0)),
@@ -204,10 +208,32 @@ class AccPathTracerRenderer(RenderComponent):
             get_server().logger.log(
                 f"AccPathTracer: blocked-BVH sweep over {n_tri} triangles "
                 f"({tri_bvh.v1x.shape[0]} blocks of {tri_bvh.block})")
-        fn = get_render_fn(ss, w, h, spp, depth, chunk, has_lens, use_env,
-                           use_bvh)
-        img = fn(cam, arrays.env_map, make_base_key(self.seed), tri_bvh)
-        img = np.asarray(img)[::-1]
+        n_steps = spp // chunk
+        if n_steps > 4:
+            # chunked host loop: a single multi-minute XLA execution can
+            # crash the TPU worker; one device call per chunk also gives
+            # progressive Screen previews for free
+            fn = get_render_fn(ss, w, h, chunk, depth, chunk, has_lens,
+                               use_env, use_bvh, True)
+            film = np.zeros((w * h, 3), np.float32)
+            key = make_base_key(self.seed)
+            for step in range(n_steps):
+                film += np.asarray(fn(cam, arrays.env_map,
+                                      jax.random.fold_in(key, step),
+                                      tri_bvh))
+                done = (step + 1) * chunk
+                img = np.sqrt(np.maximum(film / done, 0.0))
+                img = img.reshape(h, w, 3)[::-1]
+                get_server().screen.set(
+                    np.concatenate([img, np.ones((h, w, 1), np.float32)],
+                                   axis=2), w, h)
+            img = np.sqrt(np.maximum(film / spp, 0.0)).reshape(h, w, 3)
+            img = img[::-1]
+        else:
+            fn = get_render_fn(ss, w, h, spp, depth, chunk, has_lens,
+                               use_env, use_bvh, False)
+            img = fn(cam, arrays.env_map, make_base_key(self.seed), tri_bvh)
+            img = np.asarray(img)[::-1]
         img = np.clip(img, 0.0, 1.0)
         get_server().logger.log("Done...")
         rgba = np.concatenate([img, np.ones((h, w, 1), np.float32)], axis=2)
