@@ -25,6 +25,8 @@ TARGET_SECONDS = 10.0
 def main() -> int:
     import jax
     import numpy as np
+    import nrenderer_tpu
+    nrenderer_tpu.enable_compilation_cache()
     from nrenderer_tpu import load_scn, build_scene_arrays
     from nrenderer_tpu.ops.camera import make_camera
     from nrenderer_tpu.ops.intersect import make_static_scene

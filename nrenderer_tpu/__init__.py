@@ -27,3 +27,18 @@ def _register_builtin_renderers() -> None:
     analogue of the reference's DLL scan + static-initializer registration,
     `ComponentManager.cpp:15-30`)."""
     from .renderers import example, raycast, simple_pt, acc_pt, mlt  # noqa: F401
+
+
+def enable_compilation_cache(path: str = None) -> None:
+    """Persist XLA compilations across processes (mesh-scene kernels compile
+    for minutes; the cache makes re-renders of the same scene shape instant).
+    Called by the CLI/bench entry points; library users opt in."""
+    import os
+    import jax
+    path = path or os.environ.get(
+        "NR_JAX_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "nrenderer_tpu",
+                     "jax"))
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

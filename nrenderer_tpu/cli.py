@@ -161,6 +161,8 @@ def _cmd_list(args) -> int:
 
 def main(argv=None) -> int:
     logging.basicConfig(level=logging.INFO, format="%(levelname)s %(message)s")
+    import nrenderer_tpu
+    nrenderer_tpu.enable_compilation_cache()
     p = argparse.ArgumentParser(prog="nrenderer_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
 
