@@ -36,6 +36,7 @@ def main() -> int:
         render_bsdf_pt_pallas, render_simple_pt_pallas,
     )
     import nrenderer_tpu
+    nrenderer_tpu.enable_compilation_cache()
     nrenderer_tpu._register_builtin_renderers()
 
     backend = jax.default_backend()

@@ -22,6 +22,7 @@ def main() -> int:
     outdir.mkdir(parents=True, exist_ok=True)
     import jax
     import nrenderer_tpu
+    nrenderer_tpu.enable_compilation_cache()
     nrenderer_tpu._register_builtin_renderers()
     from nrenderer_tpu import (
         AmbientType, Texture, load_scn, load_obj, build_scene_arrays,
