@@ -1,0 +1,58 @@
+"""Pallas megakernel CI coverage (interpret mode on CPU).
+
+The kernel shares its physics with the XLA engine (ops/pt_core); these tests
+run it through the Mosaic interpreter and check statistical agreement with
+the XLA wavefront (different RNG streams -> compare means, not pixels)."""
+import numpy as np
+import pytest
+
+import jax
+from jax.experimental.pallas import tpu as pltpu
+
+from nrenderer_tpu import build_scene_arrays, load_scn
+from nrenderer_tpu.ops.camera import make_camera
+from nrenderer_tpu.ops.intersect import make_static_scene
+from nrenderer_tpu.ops.sampling import make_base_key
+
+
+@pytest.fixture(scope="module")
+def setup(resource_dir):
+    scene = load_scn(str(resource_dir / "path_tracing_cornel.scn"))
+    arr = build_scene_arrays(scene)
+    return arr, make_static_scene(arr), make_camera(scene.camera)
+
+
+def test_pallas_kernel_matches_xla_engine(setup):
+    arr, ss, cam = setup
+    w = h = 16
+    spp, depth = 96, 3
+    from nrenderer_tpu.ops.pt_pallas import render_simple_pt_pallas
+    with pltpu.force_tpu_interpret_mode():
+        img_p = np.asarray(render_simple_pt_pallas(ss, cam, w, h, spp, depth,
+                                                   seed=0))
+    from nrenderer_tpu.renderers.simple_pt import build_render_fn, pick_chunk
+    chunk = pick_chunk(w, h, spp)
+    fn = build_render_fn(ss, w, h, spp, depth, chunk, False, False)
+    img_x = np.asarray(fn(cam, arr.env_map, make_base_key(0, "threefry2x32")))
+    assert img_p.shape == img_x.shape == (h, w, 3)
+    assert np.isfinite(img_p).all()
+    # same estimator, independent RNG: means agree within MC noise
+    assert abs(img_p.mean() - img_x.mean()) < 0.08
+    # spatial structure agrees (tiny film + few spp -> noisy realizations;
+    # 0.7 measured ~0.75 at 96 spp)
+    corr = np.corrcoef(img_p.reshape(-1), img_x.reshape(-1))[0, 1]
+    assert corr > 0.65
+
+
+def test_pallas_bsdf_kernel_runs(setup):
+    _, _, _ = setup
+    scene = load_scn("/root/reference/resource/pt_glass.scn")
+    arr = build_scene_arrays(scene)
+    ss = make_static_scene(arr)
+    cam = make_camera(scene.camera)
+    from nrenderer_tpu.ops.pt_pallas import render_bsdf_pt_pallas
+    with pltpu.force_tpu_interpret_mode():
+        img = np.asarray(render_bsdf_pt_pallas(ss, cam, 16, 16, 8, 3,
+                                               seed=0))
+    assert np.isfinite(img).all()
+    assert img.max() > 0.05
