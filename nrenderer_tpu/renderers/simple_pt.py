@@ -111,49 +111,13 @@ def build_render_fn(ss: StaticScene, width: int, height: int, spp: int,
 
     Returns `fn(cam: CameraParams, env_map, key) -> (H, W, 3)` image
     (row 0 = BOTTOM)."""
-    n_pix = width * height
-    n_rays = n_pix * chunk
-    n_steps = spp // chunk
-    jj = np.tile(np.tile(np.arange(width, dtype=np.float32), height), chunk)
-    ii = np.tile(np.repeat(np.arange(height, dtype=np.float32), width), chunk)
+    from ._wavefront import build_wavefront_fn
 
-    @jax.jit
-    def render(cam: CameraParams, env_map, key):
-        jjd = jnp.asarray(jj)
-        iid = jnp.asarray(ii)
+    def trace(o, d, key, env_map, tri_bvh):
+        return trace_diffuse_wavefront(
+            ss, o, d, key, depth, env_map=env_map if use_env else None)
 
-        def step(film, it):
-            k = jax.random.fold_in(key, it)
-            k_jx, k_jy, k_lens, k_path = jax.random.split(k, 4)
-            rx = jax.random.uniform(k_jx, (n_rays,), minval=-1.0, maxval=1.0)
-            ry = jax.random.uniform(k_jy, (n_rays,), minval=-1.0, maxval=1.0)
-            x = (jjd + rx) / width   # 2px-wide jitter, UniformInSquare
-            y = (iid + ry) / height
-            if has_lens:
-                lens = uniform_circle(k_lens, (n_rays,))
-                lens_uv = (lens[..., 0], lens[..., 1])
-            else:
-                lens_uv = None
-            o, d = shoot_v3(cam, x, y, lens_uv=lens_uv)
-            radiance = trace_diffuse_wavefront(
-                ss, o, d, k_path, depth,
-                env_map=env_map if use_env else None)
-            fx, fy, fz = film
-            fx = fx + radiance.x.reshape(chunk, n_pix).sum(axis=0)
-            fy = fy + radiance.y.reshape(chunk, n_pix).sum(axis=0)
-            fz = fz + radiance.z.reshape(chunk, n_pix).sum(axis=0)
-            return (fx, fy, fz), None
-
-        zeros = jnp.zeros((n_pix,), jnp.float32)
-        (fx, fy, fz), _ = jax.lax.scan(
-            step, (zeros, zeros, zeros), jnp.arange(n_steps, dtype=jnp.int32))
-        inv = 1.0 / float(spp)
-        color = V3(jnp.sqrt(jnp.maximum(fx * inv, 0.0)),
-                   jnp.sqrt(jnp.maximum(fy * inv, 0.0)),
-                   jnp.sqrt(jnp.maximum(fz * inv, 0.0)))  # sqrt gamma
-        return to_array(color).reshape(height, width, 3)
-
-    return render
+    return build_wavefront_fn(width, height, spp, chunk, has_lens, trace)
 
 
 def build_linear_chunk_fn(ss: StaticScene, width: int, height: int,
