@@ -149,7 +149,7 @@ def _pt_kernel(seed_ref, film_r, film_g, film_b, *, ss: StaticScene,
 @functools.lru_cache(maxsize=32)
 def _build_pallas_pt(ss: StaticScene, cam: Tuple[float, ...], width: int,
                      height: int, spp: int, depth: int, t_min: float,
-                     bsdf: bool = False):
+                     bsdf: bool = False, linear: bool = False):
     n_pix = width * height
     tile = SUB * LANES
     n_tiles = pl.cdiv(n_pix, tile)
@@ -173,6 +173,9 @@ def _build_pallas_pt(ss: StaticScene, cam: Tuple[float, ...], width: int,
         )(seed.reshape(1).astype(jnp.int32))
         film = jnp.stack([fr.reshape(-1)[:n_pix], fg.reshape(-1)[:n_pix],
                           fb.reshape(-1)[:n_pix]], axis=-1)
+        if linear:
+            # the kernel divides by its own spp; undo for a SUM film
+            return film * float(spp)
         return jnp.sqrt(jnp.maximum(film, 0.0)).reshape(height, width, 3)
 
     return run
@@ -190,6 +193,21 @@ def render_simple_pt_pallas(ss: StaticScene, cam, width: int, height: int,
         t_min = scene_epsilon(ss)
     run = _build_pallas_pt(_hashable_static_scene(ss), _camera_tuple(cam),
                            width, height, spp, depth, t_min)
+    return run(jnp.asarray([seed], jnp.int32))
+
+
+def render_pt_pallas_linear(ss: StaticScene, cam, width: int, height: int,
+                            spp: int, depth: int, seed: int = 0,
+                            t_min: float = None,
+                            bsdf: bool = False) -> jnp.ndarray:
+    """One progressive pass on the Pallas engine: LINEAR film SUM over
+    `spp` samples, (n_pix, 3).  Distinct seeds give independent passes."""
+    if t_min is None:
+        from .pt_core import scene_epsilon
+        t_min = scene_epsilon(ss)
+    run = _build_pallas_pt(_hashable_static_scene(ss), _camera_tuple(cam),
+                           width, height, spp, depth, t_min, bsdf=bsdf,
+                           linear=True)
     return run(jnp.asarray([seed], jnp.int32))
 
 

@@ -177,8 +177,16 @@ def render_progressive(scene_arrays, ss: StaticScene, cam, width, height,
             get_server().logger.log(
                 f"resumed at {spp_done}/{spp} spp from {checkpoint_path}")
 
-    fn = build_linear_chunk_fn(ss, width, height, depth, chunk, has_lens,
-                               use_env)
+    use_pallas = (jax.default_backend() not in ("cpu",) and not use_env
+                  and not has_lens
+                  and os.environ.get("NR_ENGINE", "auto") != "xla")
+    if use_pallas:
+        from ..ops.pt_pallas import render_pt_pallas_linear
+        fn = lambda cam, env, key, step: render_pt_pallas_linear(
+            ss, cam, width, height, chunk, depth, seed=seed * 100003 + step)
+    else:
+        fn = build_linear_chunk_fn(ss, width, height, depth, chunk,
+                                   has_lens, use_env)
     key = make_base_key(seed)
     for step in range(start, n_steps):
         film = film + np.asarray(fn(cam, scene_arrays.env_map, key, step))
