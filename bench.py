@@ -45,16 +45,22 @@ def main() -> int:
         # CPU smoke mode: tiny workload so the bench is still runnable
         size, spp, depth = min(size, 64), min(spp, 8), min(depth, 4)
 
-    if backend != "cpu":
-        from nrenderer_tpu.ops.pt_pallas import render_simple_pt_pallas
-        # warm-up / compile (excluded from the measurement)
-        np.asarray(render_simple_pt_pallas(ss, cam, size, size,
-                                           min(spp, 32), depth, seed=0))
-        t0 = time.perf_counter()
-        img = np.asarray(render_simple_pt_pallas(ss, cam, size, size, spp,
-                                                 depth, seed=1))
-        wall = time.perf_counter() - t0
-    else:
+    use_pallas = backend != "cpu"
+    if use_pallas:
+        try:
+            from nrenderer_tpu.ops.pt_pallas import render_simple_pt_pallas
+            # warm-up / compile (excluded from the measurement)
+            np.asarray(render_simple_pt_pallas(ss, cam, size, size,
+                                               min(spp, 32), depth, seed=0))
+            t0 = time.perf_counter()
+            img = np.asarray(render_simple_pt_pallas(ss, cam, size, size,
+                                                     spp, depth, seed=1))
+            wall = time.perf_counter() - t0
+        except Exception as exc:  # fall back to the XLA engine
+            print(f"pallas engine unavailable ({exc!r}); using XLA",
+                  file=sys.stderr, flush=True)
+            use_pallas = False
+    if not use_pallas:
         from nrenderer_tpu.renderers.simple_pt import (
             build_render_fn, pick_chunk)
         from nrenderer_tpu.ops.sampling import make_base_key
