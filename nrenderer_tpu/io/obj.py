@@ -97,11 +97,21 @@ def _load_obj_native(path: str, scene: Scene,
     Returns None to fall back to the python parser."""
     from .. import native
     try:
+        # Stream the WHOLE file for disqualifying directives (a 64 KB sniff
+        # missed usemtl/mtllib appearing late in large files, silently
+        # dropping materials — ADVICE r1).  A plain `rb` scan of ~10 MB OBJ
+        # takes single-digit ms, negligible next to the triangle parse.
         with open(path, "rb") as f:
-            head = f.read(1 << 16)
-        if (b"usemtl" in head or b"mtllib" in head or b"\no " in head
-                or b"\ng " in head):
-            return None
+            prev_tail = b"\n"  # treat the first line as newline-preceded
+            while True:
+                chunk = f.read(1 << 20)
+                if not chunk:
+                    break
+                buf = prev_tail + chunk
+                if (b"usemtl" in buf or b"mtllib" in buf or b"\no " in buf
+                        or b"\ng " in buf):
+                    return None
+                prev_tail = buf[-8:]  # overlap so split directives still match
     except OSError:
         return None
     scanned = native.obj_scan(path)

@@ -156,6 +156,17 @@ def _parse_materials(scene: Scene, lines: List[str], start: int,
     return len(lines)
 
 
+def _last(buffer: list):
+    """Cursor access to the most recent entity of a section.  A field line
+    arriving before any entity (`R` before a `Sphere`, `U` before an `Area`)
+    is a malformed file: raise ScnParseError like every other grammar error
+    so the CLI's handler reports it cleanly (the reference indexes [-1] into
+    an empty vector here — UB we do not reproduce)."""
+    if not buffer:
+        raise ScnParseError("Syntax Error!")
+    return buffer[-1]
+
+
 def _parse_models(scene: Scene, lines: List[str], start: int,
                   mtl_map: Dict[str, int]) -> int:
     """Parse a `Begin Model` section (reference `ScnImporter::parseMdl`)."""
@@ -197,30 +208,30 @@ def _parse_models(scene: Scene, lines: List[str], start: int,
             curr_node_type = 2
             new_node(ls, NodeType.PLANE, scene.plane_buffer, Plane())
         elif token == "R":
-            scene.sphere_buffer[-1].radius = ls.f()
+            _last(scene.sphere_buffer).radius = ls.f()
         elif token == "N":
             n = ls.vec3()
             if curr_node_type == 0:
-                scene.sphere_buffer[-1].direction = n
+                _last(scene.sphere_buffer).direction = n
             elif curr_node_type == 1:
-                scene.triangle_buffer[-1].normal = n
+                _last(scene.triangle_buffer).normal = n
             else:
-                scene.plane_buffer[-1].normal = n
+                _last(scene.plane_buffer).normal = n
         elif token in ("V1", "V2", "V3"):
             v = ls.vec3()
-            tri = scene.triangle_buffer[-1]
+            tri = _last(scene.triangle_buffer)
             setattr(tri, {"V1": "v1", "V2": "v2", "V3": "v3"}[token], v)
         elif token == "P":
             p = ls.vec3()
             if curr_node_type == 0:
-                scene.sphere_buffer[-1].position = p
+                _last(scene.sphere_buffer).position = p
             elif curr_node_type == 2:
-                scene.plane_buffer[-1].position = p
+                _last(scene.plane_buffer).position = p
             # triangles have no P field (reference ignores it)
         elif token == "U":
-            scene.plane_buffer[-1].u = ls.vec3()
+            _last(scene.plane_buffer).u = ls.vec3()
         elif token == "V":
-            scene.plane_buffer[-1].v = ls.vec3()
+            _last(scene.plane_buffer).v = ls.vec3()
         elif token == "End":
             return idx + 1
         else:
@@ -255,38 +266,38 @@ def _parse_lights(scene: Scene, lines: List[str], start: int) -> int:
         elif token == "IRV":
             v = ls.vec3()
             if curr == 0:
-                scene.point_light_buffer[-1].intensity = v
+                _last(scene.point_light_buffer).intensity = v
             elif curr == 1:
-                scene.area_light_buffer[-1].radiance = v
+                _last(scene.area_light_buffer).radiance = v
             elif curr == 2:
-                scene.directional_light_buffer[-1].irradiance = v
+                _last(scene.directional_light_buffer).irradiance = v
             elif curr == 3:
-                scene.spot_light_buffer[-1].intensity = v
+                _last(scene.spot_light_buffer).intensity = v
         elif token == "P":
             p = ls.vec3()
             if curr == 0:
-                scene.point_light_buffer[-1].position = p
+                _last(scene.point_light_buffer).position = p
             elif curr == 1:
-                scene.area_light_buffer[-1].position = p
+                _last(scene.area_light_buffer).position = p
             elif curr == 3:
-                scene.spot_light_buffer[-1].position = p
+                _last(scene.spot_light_buffer).position = p
         elif token == "D":
             d = ls.vec3()
             # NOTE: the reference writes a Spot's D into the *directional* light
             # buffer (`ScnImporter.cpp:395-398`, an out-of-bounds bug when no
             # directional light exists). We set the spot's own direction.
             if curr == 2:
-                scene.directional_light_buffer[-1].direction = d
+                _last(scene.directional_light_buffer).direction = d
             elif curr == 3:
-                scene.spot_light_buffer[-1].direction = d
+                _last(scene.spot_light_buffer).direction = d
         elif token == "HotSpot":
-            scene.spot_light_buffer[-1].hot_spot = ls.f()
+            _last(scene.spot_light_buffer).hot_spot = ls.f()
         elif token == "Fallout":
-            scene.spot_light_buffer[-1].fallout = ls.f()
+            _last(scene.spot_light_buffer).fallout = ls.f()
         elif token == "U":
-            scene.area_light_buffer[-1].u = ls.vec3()
+            _last(scene.area_light_buffer).u = ls.vec3()
         elif token == "V":
-            scene.area_light_buffer[-1].v = ls.vec3()
+            _last(scene.area_light_buffer).v = ls.vec3()
         elif token == "End":
             return idx + 1
         else:

@@ -160,10 +160,13 @@ def _blocked_compacted(bt, o: V3, d: V3, t_min: float, t_dense):
     O((N / COMPACT_FRACTION) * T).
 
     Capacity is fixed (XLA needs static shapes): if more than N/4 rays hit
-    the mesh bbox in one wavefront, the overflow rays skip the mesh test
-    this bounce (they see only the dense prims).  N/4 is far above observed
-    hit fractions for mesh-in-scene workloads; set COMPACT_FRACTION = 1 to
-    make the path exact at brute-force cost."""
+    the mesh bbox in one wavefront, the whole wavefront falls back to the
+    uncompacted sweep via `lax.cond` — exact in every configuration, just
+    slower for that bounce — and a warning is emitted through
+    `jax.debug.callback` so mesh-dominant viewpoints are visible in the log
+    rather than silently slow.  N/4 is far above observed hit fractions for
+    mesh-in-scene workloads; set COMPACT_FRACTION = 1 to keep even the
+    fallback branch un-compiled."""
     from .bvh import intersect_triangles_blocked
 
     n = o.x.shape[0]
@@ -185,27 +188,55 @@ def _blocked_compacted(bt, o: V3, d: V3, t_min: float, t_dense):
     t_far = jnp.minimum(jnp.minimum(nx1, ny1), nz1)
     m = (t_near <= t_far) & (t_far >= t_min) & (t_near < t_dense)
 
-    (idx,) = jnp.nonzero(m, size=cap, fill_value=n)
-    gidx = jnp.clip(idx, 0, n - 1)
-    take = lambda a: jnp.take(a, gidx, mode="clip")
-    oc = V3(take(o.x), take(o.y), take(o.z))
-    dc = V3(take(d.x), take(d.y), take(d.z))
-    tc, nxc, nyc, nzc, matc, pidc, chc = intersect_triangles_blocked(
-        bt, oc, dc, t_min=t_min)
+    if cap >= n:  # compaction can't help; sweep everything directly
+        return intersect_triangles_blocked(bt, o, d, t_min=t_min)
 
-    inf = jnp.float32(jnp.inf)
-    # nonzero output is sorted and unique — these hints let XLA vectorize
-    # the scatter instead of serializing it
-    scat = lambda init, vals: init.at[idx].set(
-        vals, mode="drop", indices_are_sorted=True, unique_indices=True)
-    tb = scat(jnp.full((n,), inf), tc)
-    nxb = scat(jnp.zeros((n,)), nxc)
-    nyb = scat(jnp.zeros((n,)), nyc)
-    nzb = scat(jnp.zeros((n,)), nzc)
-    matb = scat(jnp.zeros((n,)), matc)
-    pidb = scat(jnp.full((n,), -1.0), pidc)
-    chb = tuple(scat(jnp.zeros((n,)), c) for c in chc)
-    return tb, nxb, nyb, nzb, matb, pidb, chb
+    n_hit = jnp.sum(m.astype(jnp.int32))
+
+    def compacted(_):
+        (idx,) = jnp.nonzero(m, size=cap, fill_value=n)
+        gidx = jnp.clip(idx, 0, n - 1)
+        take = lambda a: jnp.take(a, gidx, mode="clip")
+        oc = V3(take(o.x), take(o.y), take(o.z))
+        dc = V3(take(d.x), take(d.y), take(d.z))
+        tc, nxc, nyc, nzc, matc, pidc, chc = intersect_triangles_blocked(
+            bt, oc, dc, t_min=t_min)
+
+        inf = jnp.float32(jnp.inf)
+        # nonzero output is sorted and unique — these hints let XLA vectorize
+        # the scatter instead of serializing it
+        scat = lambda init, vals: init.at[idx].set(
+            vals, mode="drop", indices_are_sorted=True, unique_indices=True)
+        tb = scat(jnp.full((n,), inf), tc)
+        nxb = scat(jnp.zeros((n,)), nxc)
+        nyb = scat(jnp.zeros((n,)), nyc)
+        nzb = scat(jnp.zeros((n,)), nzc)
+        matb = scat(jnp.zeros((n,)), matc)
+        pidb = scat(jnp.full((n,), -1.0), pidc)
+        chb = tuple(scat(jnp.zeros((n,)), c) for c in chc)
+        return (tb, nxb, nyb, nzb, matb, pidb) + chb
+
+    def full_sweep(_):
+        jax.debug.callback(_warn_compaction_overflow, n_hit, cap,
+                           ordered=False)
+        tb, nxb, nyb, nzb, matb, pidb, chb = intersect_triangles_blocked(
+            bt, o, d, t_min=t_min)
+        return (tb, nxb, nyb, nzb, matb, pidb) + chb
+
+    out = jax.lax.cond(n_hit > cap, full_sweep, compacted, operand=None)
+    return out[0], out[1], out[2], out[3], out[4], out[5], tuple(out[6:])
+
+
+def _warn_compaction_overflow(n_hit, cap):
+    """Host-side overflow notice (runs only when the fallback branch fires)."""
+    try:
+        from ..server.registry import get_server
+        get_server().logger.warning(
+            f"mesh ray compaction overflow: {int(n_hit)} rays hit the mesh "
+            f"AABB (capacity {int(cap)}); fell back to the full sweep for "
+            "this wavefront")
+    except Exception:
+        pass
 
 
 def diffuse_bounce(ss: StaticScene, albedo_ch, o: V3, d: V3, throughput: V3,

@@ -575,6 +575,40 @@ def _scaled_static(arrays: SceneArrays, f: float) -> StaticScene:
     return make_static_scene(scaled)
 
 
+def _scene_extent(a: SceneArrays) -> float:
+    """Max |coordinate| over ALL scene geometry (mirrors
+    `pt_core.scene_epsilon`'s coverage): sphere bounds, triangle vertices
+    (incl. mesh-expanded), plane corners, and area-light corners.  Using only
+    plane/sphere positions under-normalized triangle-heavy scenes, leaving
+    ~20-edge f32 pdf products free to overflow (ADVICE r1)."""
+    pts = [np.zeros((1, 3))]
+    sv = np.asarray(a.sph_valid)
+    sph = np.asarray(a.sph_pos)[sv]
+    if sph.size:
+        rad = np.asarray(a.sph_radius)[sv][:, None]
+        pts += [sph + rad, sph - rad]
+    tv = np.asarray(a.tri_valid)
+    v1 = np.asarray(a.tri_v1)[tv]
+    if v1.size:
+        e1 = np.asarray(a.tri_e1)[tv]
+        e2 = np.asarray(a.tri_e2)[tv]
+        pts += [v1, v1 + e1, v1 + e2]
+    pv = np.asarray(a.pln_valid)
+    pp = np.asarray(a.pln_pos)[pv]
+    if pp.size:
+        pts.append(pp)
+        try:  # columns of pln_inv^-1 are [u, v, u x v]: far corner = pos+u+v
+            m = np.linalg.inv(np.asarray(a.pln_inv)[pv])
+            pts.append(pp + m[:, :, 0] + m[:, :, 1])
+        except np.linalg.LinAlgError:
+            pass
+    av = np.asarray(a.al_valid)
+    ap = np.asarray(a.al_pos)[av]
+    if ap.size:
+        pts += [ap, ap + np.asarray(a.al_u)[av] + np.asarray(a.al_v)[av]]
+    return max(1.0, float(np.abs(np.concatenate(pts, axis=0)).max()))
+
+
 def render_mlt(scene: Scene, chains: int = 1024, mutations: int = 256,
                n_init: int = 10000, seed: int = 0,
                max_path: int = None) -> np.ndarray:
@@ -587,9 +621,7 @@ def render_mlt(scene: Scene, chains: int = 1024, mutations: int = 256,
     arrays = build_scene_arrays(scene)
     if not scene.area_light_buffer:
         return np.zeros((height, width, 4), np.float32)
-    extent = max(1.0, float(np.abs(np.asarray(arrays.pln_pos)).max()),
-                 float(np.abs(np.asarray(arrays.sph_pos)).max()))
-    f = 1.0 / extent
+    f = 1.0 / _scene_extent(arrays)
     ss = _scaled_static(arrays, f)
 
     al = scene.area_light_buffer[0]

@@ -133,8 +133,10 @@ def _pack_material(mat) -> Tuple[int, np.ndarray]:
                           or (1.0, 1.0, 1.0))
     p[MAT_SPECULAR] = _vec(mat.get_property("specularColor", PropertyType.RGB)
                            or (1.0, 1.0, 1.0))
-    p[MAT_SPECULAR_EX] = mat.get_property("specularEx", PropertyType.FLOAT) or 1.0
-    p[MAT_IOR] = mat.get_property("ior", PropertyType.FLOAT) or 1.5
+    spec_ex = mat.get_property("specularEx", PropertyType.FLOAT)
+    p[MAT_SPECULAR_EX] = 1.0 if spec_ex is None else spec_ex
+    ior = mat.get_property("ior", PropertyType.FLOAT)
+    p[MAT_IOR] = 1.5 if ior is None else ior
     p[MAT_ABSORBED] = _vec(mat.get_property("absorbed", PropertyType.RGB)
                            or (1.0, 1.0, 1.0))
     p[MAT_ETA_R] = _vec(mat.get_property("eta_r", PropertyType.VEC3)

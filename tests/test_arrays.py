@@ -101,3 +101,25 @@ End
     arr = build_scene_arrays(parse_scn(text))
     # stored (scene-file) normal is used verbatim, like the PT intersections
     np.testing.assert_allclose(np.asarray(arr.tri_normal[0]), [0.0, 2.0, 0.0])
+
+
+def test_explicit_zero_float_props_respected():
+    # an explicit 0.0 ior/specularEx must not be replaced by the default
+    # (the falsy-`or` bug, ADVICE r1)
+    from nrenderer_tpu import parse_scn
+    from nrenderer_tpu.scene.arrays import MAT_IOR, MAT_SPECULAR_EX
+    text = """Begin Material
+Material Z 2
+Prop ior Float 0.0
+Prop specularEx Float 0.0
+End
+Begin Model
+Model m
+Sphere s Z
+P 0 0 0
+R 1
+End
+"""
+    arr = build_scene_arrays(parse_scn(text))
+    assert float(arr.mat_params[0, MAT_IOR]) == 0.0
+    assert float(arr.mat_params[0, MAT_SPECULAR_EX]) == 0.0

@@ -58,3 +58,36 @@ def test_padding_never_hits(bunny):
     bt = pack_blocked_triangles(bunny, [(1.0,)], block=128)
     pid = np.asarray(bt.pid)
     assert (pid[-1, -56:] == -1).all()
+
+
+def test_compaction_overflow_falls_back(bunny):
+    """When more rays hit the mesh AABB than the compaction capacity, the
+    wavefront must fall back to the exact full sweep — no ray may silently
+    skip the mesh (ADVICE r1 / VERDICT r1 #6)."""
+    from nrenderer_tpu.ops.pt_core import _blocked_compacted
+
+    bt = pack_blocked_triangles(bunny, [(1.0,)], block=64)
+    bb_min = np.asarray(bt.bb_min).min(axis=0)
+    bb_max = np.asarray(bt.bb_max).max(axis=0)
+    center = 0.5 * (bb_min + bb_max)
+
+    n = 8192  # cap = max(1024, n//4) = 2048 < n, so overflow is possible
+    rng = np.random.default_rng(11)
+    origins = center + np.array([0.0, 0.0, -900.0]) \
+        + rng.uniform(-50, 50, (n, 3))
+    targets = rng.uniform(bb_min, bb_max, (n, 3))
+    d = (targets - origins).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    origins = origins.astype(np.float32)
+    o = V3(*(jnp.asarray(origins[:, i]) for i in range(3)))
+    dv = V3(*(jnp.asarray(d[:, i]) for i in range(3)))
+
+    # every ray is aimed inside the AABB -> n_hit == n > cap -> fallback
+    t_dense = jnp.full((n,), jnp.inf)
+    tc, *_ = _blocked_compacted(bt, o, dv, 1e-3, t_dense)
+    tf, *_ = intersect_triangles_blocked(bt, o, dv, t_min=1e-3)
+    tc, tf = np.asarray(tc), np.asarray(tf)
+    hit = np.isfinite(tf)
+    assert hit.sum() > n // 2  # the workload actually hits the bunny
+    np.testing.assert_array_equal(np.isfinite(tc), hit)
+    np.testing.assert_allclose(tc[hit], tf[hit], rtol=1e-5)

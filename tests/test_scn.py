@@ -201,3 +201,17 @@ End
     assert s.materials[0].get_property("diffuseColor") == \
         pytest.approx((0.63, 0.065, 0.0))
     assert s.materials[0].get_property("other") == pytest.approx((1.0, 2.0, 3.0))
+
+
+def test_field_before_entity_is_clean_parse_error():
+    # a field line before its entity must raise ScnParseError (not a bare
+    # IndexError escaping the CLI's handler) — ADVICE r1
+    from nrenderer_tpu.io.scn import ScnParseError
+    for text in (
+        "Begin Model\nR 200\nEnd\n",
+        "Begin Model\nModel m\nV1 0 0 0\nEnd\n",
+        "Begin Light\nU 1 0 0\nEnd\n",
+        "Begin Light\nPoint p\nU 1 0 0\nEnd\n",  # U needs an Area light
+    ):
+        with pytest.raises(ScnParseError):
+            parse_scn(text)
