@@ -49,13 +49,17 @@ def main() -> int:
     if use_pallas:
         try:
             from nrenderer_tpu.ops.pt_pallas import render_simple_pt_pallas
-            # warm-up / compile (excluded from the measurement)
+            # warm-up / compile at the FULL shape (spp/depth/size are baked
+            # into the kernel; seed is a runtime arg so the compiled fn is
+            # reused) — the measurement below is pure steady-state execute
             np.asarray(render_simple_pt_pallas(ss, cam, size, size,
-                                               min(spp, 32), depth, seed=0))
-            t0 = time.perf_counter()
-            img = np.asarray(render_simple_pt_pallas(ss, cam, size, size,
-                                                     spp, depth, seed=1))
-            wall = time.perf_counter() - t0
+                                               spp, depth, seed=0))
+            wall = float("inf")
+            for rep in range(2):  # best-of-2 irons out relay jitter
+                t0 = time.perf_counter()
+                img = np.asarray(render_simple_pt_pallas(
+                    ss, cam, size, size, spp, depth, seed=1 + rep))
+                wall = min(wall, time.perf_counter() - t0)
         except Exception as exc:  # fall back to the XLA engine
             print(f"pallas engine unavailable ({exc!r}); using XLA",
                   file=sys.stderr, flush=True)
