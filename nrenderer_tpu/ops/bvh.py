@@ -355,6 +355,21 @@ def pack_blocked_triangles(scene_arrays, mat_channels,
         bb_min=jnp.asarray(mn), bb_max=jnp.asarray(mx))
 
 
+class MeshAccel(NamedTuple):
+    """Large-mesh acceleration bundle for the Pallas sweep engine: the
+    BVH-preorder blocked triangle pool (kernel input) plus the flat
+    per-triangle shading tables (post-sweep gather source)."""
+    bt: BlockedTris
+    tp: TrianglePack
+
+
+def build_mesh_accel(scene_arrays, mat_channels, block: int = 128
+                     ) -> MeshAccel:
+    return MeshAccel(bt=pack_blocked_triangles(scene_arrays, mat_channels,
+                                               block=block),
+                     tp=pack_triangles(scene_arrays, mat_channels))
+
+
 def intersect_triangles_blocked(bt: BlockedTris, o, d, t_min: float = 1e-6):
     """Closest triangle hit via the blocked sweep.  Returns
     (t, nx, ny, nz, mat_id, prim_id, channels tuple); t=+inf on miss."""

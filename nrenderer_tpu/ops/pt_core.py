@@ -107,7 +107,7 @@ def onb_local(normal: V3, vec: V3) -> V3:
 
 
 def closest_hit(ss: StaticScene, o: V3, d: V3, t_min: float, mat_channels,
-                tri_bvh=None):
+                tri_bvh=None, alive=None):
     """Closest hit: unrolled constant-folded brute force, with the triangle
     pool optionally routed through a flattened BVH walk (`tri_bvh` =
     (FlatBVH, TrianglePack), used by the renderers when the mesh-expanded
@@ -117,12 +117,18 @@ def closest_hit(ss: StaticScene, o: V3, d: V3, t_min: float, mat_channels,
         return intersect_scene_unrolled(ss, o, d, t_min=t_min,
                                         mat_channels=mat_channels)
     from .bvh import (
-        BlockedTris, intersect_triangles_blocked, intersect_triangles_bvh,
+        BlockedTris, MeshAccel, intersect_triangles_blocked,
+        intersect_triangles_bvh,
     )
     ss_nt = ss._replace(tri=[])
     hit = intersect_scene_unrolled(ss_nt, o, d, t_min=t_min,
                                    mat_channels=mat_channels)
-    if isinstance(tri_bvh, BlockedTris):
+    if isinstance(tri_bvh, MeshAccel):
+        # Pallas sweep engine: VMEM-resident carry, in-kernel block culling
+        from .mesh_pallas import intersect_triangles_mesh
+        tb, nxb, nyb, nzb, matb, pidb, chb = intersect_triangles_mesh(
+            tri_bvh, o, d, t_min, hit.t, mat_channels, alive=alive)
+    elif isinstance(tri_bvh, BlockedTris):
         tb, nxb, nyb, nzb, matb, pidb, chb = _blocked_compacted(
             tri_bvh, o, d, t_min, hit.t)
     else:
@@ -247,7 +253,7 @@ def diffuse_bounce(ss: StaticScene, albedo_ch, o: V3, d: V3, throughput: V3,
 
     `u1, u2`: uniforms in [0,1) shaped like o.x (hemisphere sampling).
     `alive`: boolean mask of rays still carrying throughput."""
-    hit = closest_hit(ss, o, d, t_min, albedo_ch, tri_bvh)
+    hit = closest_hit(ss, o, d, t_min, albedo_ch, tri_bvh, alive=alive)
     t_l, light_rad = intersect_area_lights_unrolled(ss, o, d, t_min=t_min)
 
     obj_first = alive & hit.valid & (hit.t < t_l)
@@ -439,7 +445,7 @@ def bsdf_bounce(ss: StaticScene, mat_ch, o: V3, d: V3, throughput: V3,
     (`AccPathTracer.cpp:120-181`): closest hit, light hit, then branchless
     dispatch over material type {0 Lambertian, 1 conductor, 2 glass,
     3 microfacet} (`acc/include/shaders/ShaderCreator.hpp:17-39`)."""
-    hit = closest_hit(ss, o, d, t_min, mat_ch, tri_bvh)
+    hit = closest_hit(ss, o, d, t_min, mat_ch, tri_bvh, alive=alive)
     t_l, light_rad = intersect_area_lights_unrolled(ss, o, d, t_min=t_min)
 
     obj_first = alive & hit.valid & (hit.t < t_l)

@@ -164,14 +164,25 @@ class AccPathTracerRenderer(RenderComponent):
         use_bvh = n_tri > BVH_THRESHOLD
         tri_bvh = None
         if use_bvh:
-            # BVH-preorder blocked sweep: the TPU-fast large-mesh engine
-            # (the per-ray BVH cursor walk in ops/bvh.py is ~400x slower on
-            # a vector unit; it remains available for comparison)
-            from ..ops.bvh import pack_blocked_triangles
-            tri_bvh = pack_blocked_triangles(arrays, make_mat_channels(ss))
+            # BVH-preorder blocked sweep over VMEM-resident triangles.  On
+            # TPU (and in CPU tests, interpreted) the sweep runs as the
+            # Pallas kernel with adaptive ray compaction
+            # (ops/mesh_pallas.py); NR_MESH_ENGINE=xla forces the lax.scan
+            # sweep (ops/bvh.py).  The per-ray BVH cursor walk is ~400x
+            # slower on a vector unit; it remains available for comparison.
+            mesh_engine = os.environ.get("NR_MESH_ENGINE", "pallas")
+            if mesh_engine == "pallas":
+                from ..ops.bvh import build_mesh_accel
+                tri_bvh = build_mesh_accel(arrays, make_mat_channels(ss))
+                n_blocks, blk = tri_bvh.bt.v1x.shape
+            else:
+                from ..ops.bvh import pack_blocked_triangles
+                tri_bvh = pack_blocked_triangles(arrays,
+                                                 make_mat_channels(ss))
+                n_blocks, blk = tri_bvh.v1x.shape
             get_server().logger.log(
-                f"AccPathTracer: blocked-BVH sweep over {n_tri} triangles "
-                f"({tri_bvh.v1x.shape[0]} blocks of {tri_bvh.block})")
+                f"AccPathTracer: {mesh_engine} blocked-BVH sweep over "
+                f"{n_tri} triangles ({n_blocks} blocks of {blk})")
         n_steps = spp // chunk
         if n_steps > 4:
             # chunked host loop: a single multi-minute XLA execution can

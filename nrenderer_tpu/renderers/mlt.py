@@ -609,18 +609,18 @@ def _scene_extent(a: SceneArrays) -> float:
     return max(1.0, float(np.abs(np.concatenate(pts, axis=0)).max()))
 
 
-def render_mlt(scene: Scene, chains: int = 1024, mutations: int = 256,
-               n_init: int = 10000, seed: int = 0,
-               max_path: int = None) -> np.ndarray:
-    """Full MLT render; returns (H, W, 4) float RGBA, row 0 = TOP (the MLT
-    reference never flips its film)."""
+def _prepare_mlt(scene: Scene, max_path: int = None):
+    """Scene prep shared by the single-chip and chain-sharded MLT drivers:
+    unit-scale normalization, light extraction, kernel construction.
+    Returns (kern, width, height) or None when the scene has no area light
+    (the reference renders black then too, `Metropolis.hpp:63`)."""
     ro = scene.render_option
     width, height = ro.width, ro.height
     max_path = max_path if max_path is not None else min(ro.depth, 20)
 
     arrays = build_scene_arrays(scene)
     if not scene.area_light_buffer:
-        return np.zeros((height, width, 4), np.float32)
+        return None
     f = 1.0 / _scene_extent(arrays)
     ss = _scaled_static(arrays, f)
 
@@ -637,6 +637,22 @@ def render_mlt(scene: Scene, chains: int = 1024, mutations: int = 256,
 
     kern = MLTKernel(ss, camera, width, height, max_path, emitted,
                      light_pos, light_u, light_v, light_area)
+    return kern, width, height
+
+
+def render_mlt(scene: Scene, chains: int = 1024, mutations: int = 256,
+               n_init: int = 10000, seed: int = 0,
+               max_path: int = None) -> np.ndarray:
+    """Full MLT render; returns (H, W, 4) float RGBA, row 0 = TOP (the MLT
+    reference never flips its film)."""
+    prep = _prepare_mlt(scene, max_path)
+    if prep is None:
+        ro = scene.render_option
+        return np.zeros((ro.height, ro.width, 4), np.float32)
+    kern, width, height = prep
+    ss, camera, max_path = kern.ss, kern.cam, kern.max_path
+    emitted, light_pos, light_u, light_v = (kern.emitted, kern.light_pos,
+                                            kern.light_u, kern.light_v)
     ns = kern.n_states
     n_pix = width * height
     n_combo = kern.combos.shape[0]

@@ -1,0 +1,109 @@
+"""Pallas mesh-sweep kernel (interpret mode) vs the XLA blocked sweep.
+
+The Pallas kernel (`ops/mesh_pallas.py`) must reproduce
+`ops/bvh.py:intersect_triangles_blocked` exactly — same winner, same t,
+same shading channels — plus its extra contracts: per-ray `t_cap` upper
+bound, `alive` culling, `n_valid` tail skip, and non-tile-multiple ray
+counts."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from nrenderer_tpu import build_scene_arrays, load_obj
+from nrenderer_tpu.ops.bvh import (
+    build_mesh_accel, intersect_triangles_blocked,
+)
+from nrenderer_tpu.ops.mesh_pallas import (
+    intersect_triangles_mesh, intersect_triangles_pallas, sweep_mesh_pallas,
+)
+from nrenderer_tpu.ops.soa import V3
+from nrenderer_tpu.scene.model import Material
+
+
+@pytest.fixture(scope="module")
+def setup():
+    s = load_obj("/root/reference/resource/obj/bunny_200_faces.obj")
+    s.models[0].scale = (600.0, 600.0, 600.0)
+    s.models[0].translation = (40.0, -305.0, 920.0)
+    s.mesh_buffer[0].material = 1
+    s.materials.append(Material(name="A"))
+    s.materials.append(Material(name="B"))
+    arr = build_scene_arrays(s)
+    ch = [(0.25, 9.0), (1.0, 2.0)]   # two materials; the mesh uses mat 1
+    ma = build_mesh_accel(arr, ch, block=64)
+
+    rng = np.random.default_rng(3)
+    n = 5000   # deliberately not a multiple of the 4096-ray tile
+    origins = rng.uniform(-400, 400, (n, 3)).astype(np.float32)
+    origins[:, 2] -= 400.0
+    targets = (rng.uniform(-120, 120, (n, 3)).astype(np.float32)
+               + np.array([40.0, -200.0, 920.0], np.float32))
+    d = targets - origins
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    o = V3(*(jnp.asarray(origins[:, i]) for i in range(3)))
+    dv = V3(*(jnp.asarray(d[:, i]) for i in range(3)))
+    blocked = intersect_triangles_blocked(ma.bt, o, dv, t_min=1e-3)
+    return ma, ch, o, dv, blocked
+
+
+def test_full_tuple_matches_blocked(setup):
+    ma, ch, o, dv, blocked = setup
+    tb, nxb, nyb, nzb, matb, pidb, chb = blocked
+    t_dense = jnp.full((o.x.shape[0],), jnp.inf)
+    t, nx, ny, nz, mat, pid, chp = intersect_triangles_mesh(
+        ma, o, dv, 1e-3, t_dense, ch)
+    tb_, t_ = np.asarray(tb), np.asarray(t)
+    hb, hp = np.isfinite(tb_), np.isfinite(t_)
+    assert hb.sum() > 1000
+    np.testing.assert_array_equal(hb, hp)
+    np.testing.assert_allclose(t_[hp], tb_[hb], rtol=1e-6)
+    for got, want in [(nx, nxb), (ny, nyb), (nz, nzb), (mat, matb),
+                      (pid, pidb), (chp[0], chb[0]), (chp[1], chb[1])]:
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-6)
+
+
+def test_gather_form_matches_blocked(setup):
+    ma, ch, o, dv, blocked = setup
+    tb, *_, chb = blocked
+    t, nx, ny, nz, mat, pid, chp = intersect_triangles_pallas(
+        ma.bt, ma.tp, o, dv, t_min=1e-3)
+    np.testing.assert_allclose(np.asarray(t), np.asarray(tb), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(chp[1]), np.asarray(chb[1]))
+
+
+def test_alive_culling(setup):
+    ma, ch, o, dv, blocked = setup
+    n = o.x.shape[0]
+    t_dense = jnp.full((n,), jnp.inf)
+    rng = np.random.default_rng(7)
+    alive = jnp.asarray(rng.random(n) < 0.5)
+    t_all, *_ = intersect_triangles_mesh(ma, o, dv, 1e-3, t_dense, ch)
+    t_cull, *_ = intersect_triangles_mesh(ma, o, dv, 1e-3, t_dense, ch,
+                                          alive=alive)
+    t_all, t_cull, al = np.asarray(t_all), np.asarray(t_cull), \
+        np.asarray(alive)
+    assert not np.isfinite(t_cull[~al]).any()
+    np.testing.assert_allclose(t_cull[al], t_all[al], rtol=1e-6)
+
+
+def test_t_dense_cap(setup):
+    ma, ch, o, dv, blocked = setup
+    tb = np.asarray(blocked[0])
+    n = o.x.shape[0]
+    td = jnp.where(jnp.arange(n) % 3 == 0, 600.0, jnp.inf)
+    t, *_ = intersect_triangles_mesh(ma, o, dv, 1e-3, td, ch)
+    ref = np.where(tb < np.asarray(td), tb, np.inf)
+    np.testing.assert_allclose(np.asarray(t), ref, rtol=1e-6)
+
+
+def test_n_valid_tail_skip(setup):
+    ma, ch, o, dv, blocked = setup
+    tb = np.asarray(blocked[0])
+    n_valid = 4096
+    t, idx = sweep_mesh_pallas(ma.bt, o, dv, 1e-3, n_valid=n_valid)
+    t = np.asarray(t)
+    np.testing.assert_allclose(t[:n_valid], tb[:n_valid], rtol=1e-6)
+    assert not np.isfinite(t[n_valid:]).any()
+    assert (np.asarray(idx)[n_valid:] == -1).all()
