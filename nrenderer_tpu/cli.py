@@ -77,7 +77,8 @@ def _cmd_render(args) -> int:
         print(f"error: scene import failed: {exc}", file=sys.stderr)
         return 2
 
-    if args.devices > 1 and args.renderer == "SimplePathTracer":
+    if args.devices > 1 and args.renderer in (
+            "SimplePathTracer", "AccPathTracer", "MetropolisLightTransport"):
         return _render_multichip(args, scene)
 
     component = None
@@ -118,14 +119,16 @@ def _cmd_render(args) -> int:
 
 
 def _render_multichip(args, scene) -> int:
-    """Sample-parallel render over N local devices (parallel/mesh.py)."""
+    """Render sharded over N local devices (parallel/, SURVEY §2.9):
+    SimplePathTracer / AccPathTracer shard the sample budget,
+    MetropolisLightTransport shards the Markov-chain axis."""
     import time as _time
     import numpy as np
     import jax
     from .scene.arrays import build_scene_arrays
     from .ops.camera import make_camera
     from .ops.intersect import make_static_scene
-    from .parallel.mesh import make_mesh, render_multichip
+    from .parallel.mesh import make_mesh
     from .io.image import write_png
 
     n_dev = len(jax.devices())
@@ -133,17 +136,45 @@ def _render_multichip(args, scene) -> int:
         print(f"error: {args.devices} devices requested, {n_dev} available",
               file=sys.stderr)
         return 2
+    mesh = make_mesh(args.devices)
+    t0 = _time.perf_counter()
+    if args.renderer == "MetropolisLightTransport":
+        from .parallel.mlt import render_mlt_sharded
+        chains = args.chains or 4096
+        mutations = args.mutations or 256
+        rgba = render_mlt_sharded(scene, chains=chains, mutations=mutations,
+                                  seed=args.seed, mesh=mesh)
+        wall = _time.perf_counter() - t0
+        write_png(args.out, rgba)
+        print(f"MetropolisLightTransport[{args.devices} devices]: "
+              f"{args.width}x{args.height} {chains}x{mutations} mutations "
+              f"in {wall:.2f}s -> {args.out}")
+        return 0
+
     arrays = build_scene_arrays(scene)
     ss = make_static_scene(arrays)
     cam = make_camera(scene.camera)
-    mesh = make_mesh(args.devices)
-    t0 = _time.perf_counter()
-    img = np.asarray(render_multichip(
-        ss, cam, args.width, args.height, args.spp, args.depth, mesh=mesh,
-        seed=args.seed))[::-1]
+    if args.renderer == "AccPathTracer":
+        from .ops.pt_core import make_mat_channels
+        from .parallel.mesh import render_multichip_acc
+        tri_bvh = None
+        n_tri = int(np.asarray(arrays.tri_valid).sum())
+        if n_tri > 64:
+            from .ops.bvh import build_mesh_accel
+            tri_bvh = build_mesh_accel(arrays, make_mat_channels(ss))
+        env_map = arrays.env_map if ss.ambient_type == 1 else None
+        img = np.asarray(render_multichip_acc(
+            ss, cam, args.width, args.height, args.spp, args.depth,
+            mesh=mesh, seed=args.seed, tri_bvh=tri_bvh,
+            env_map=env_map))[::-1]
+    else:
+        from .parallel.mesh import render_multichip
+        img = np.asarray(render_multichip(
+            ss, cam, args.width, args.height, args.spp, args.depth,
+            mesh=mesh, seed=args.seed))[::-1]
     wall = _time.perf_counter() - t0
     write_png(args.out, np.clip(img, 0.0, 1.0))
-    print(f"SimplePathTracer[{args.devices} devices]: "
+    print(f"{args.renderer}[{args.devices} devices]: "
           f"{args.width}x{args.height} spp={args.spp} in {wall:.2f}s "
           f"-> {args.out}")
     return 0
@@ -189,8 +220,9 @@ def main(argv=None) -> int:
     pr.add_argument("--checkpoint",
                     help="checkpoint file for resumable rendering")
     pr.add_argument("--devices", type=int, default=1,
-                    help="shard the sample budget over N devices "
-                         "(SimplePathTracer)")
+                    help="shard over N devices: sample budget for "
+                         "SimplePathTracer/AccPathTracer, Markov chains "
+                         "for MetropolisLightTransport")
     pr.add_argument("--chains", type=int,
                     help="MLT: parallel Markov chains (default 1024)")
     pr.add_argument("--mutations", type=int,

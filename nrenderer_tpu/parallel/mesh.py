@@ -38,9 +38,10 @@ def make_mesh(n_devices: Optional[int] = None,
     return Mesh(np.asarray(devices[:n]), (axis_name,))
 
 
-def _linear_film(ss: StaticScene, cam: CameraParams, width: int, height: int,
-                 spp: int, depth: int, chunk: int, key) -> jnp.ndarray:
-    """Linear-light film sum over `spp` samples: (n_pix, 3) float32."""
+def _linear_film(trace_fn: Callable, cam: CameraParams, width: int,
+                 height: int, spp: int, chunk: int, key) -> jnp.ndarray:
+    """Linear-light film sum over `spp` samples: (n_pix, 3) float32.
+    `trace_fn(o, d, key) -> V3 radiance` supplies the bounce physics."""
     n_pix = width * height
     n_rays = n_pix * chunk
     jj = jnp.tile(jnp.tile(jnp.arange(width, dtype=jnp.float32), (height,)),
@@ -54,7 +55,7 @@ def _linear_film(ss: StaticScene, cam: CameraParams, width: int, height: int,
         rx = jax.random.uniform(k_jx, (n_rays,), minval=-1.0, maxval=1.0)
         ry = jax.random.uniform(k_jy, (n_rays,), minval=-1.0, maxval=1.0)
         o, d = shoot_v3(cam, (jj + rx) / width, (ii + ry) / height)
-        radiance = trace_diffuse_wavefront(ss, o, d, k_path, depth)
+        radiance = trace_fn(o, d, k_path)
         return film + to_array(radiance).reshape(chunk, n_pix, 3).sum(axis=0), None
 
     film = jnp.zeros((n_pix, 3), jnp.float32)
@@ -63,14 +64,10 @@ def _linear_film(ss: StaticScene, cam: CameraParams, width: int, height: int,
     return film
 
 
-def build_sharded_render(ss: StaticScene, width: int, height: int, spp: int,
-                         depth: int, mesh: Mesh,
-                         chunk: int = 1) -> Callable:
-    """Compile a sample-sharded full render over `mesh`.
-
-    Returns `fn(cam: CameraParams, seeds: (n_dev,) int32) -> (H, W, 3)`
-    gamma'd image (row 0 = BOTTOM).  `spp` is the TOTAL sample budget and
-    must be divisible by n_devices * chunk."""
+def _build_sharded_film(trace_fn: Callable, width: int, height: int,
+                        spp: int, mesh: Mesh, chunk: int) -> Callable:
+    """Sample-sharded film loop over `mesh` around any trace fn.  Returns
+    `fn(cam, seeds) -> (H, W, 3)` gamma'd image (row 0 = BOTTOM)."""
     axis = mesh.axis_names[0]
     n_dev = mesh.devices.size
     assert spp % (n_dev * chunk) == 0, (spp, n_dev, chunk)
@@ -79,7 +76,7 @@ def build_sharded_render(ss: StaticScene, width: int, height: int, spp: int,
     def shard_fn(cam, seeds):
         # inside shard_map: seeds is this device's (1,) slice
         key = jax.random.fold_in(make_base_key(0), seeds[0])
-        film = _linear_film(ss, cam, width, height, per_dev_spp, depth,
+        film = _linear_film(trace_fn, cam, width, height, per_dev_spp,
                             chunk, key)
         # the collective that replaces the reference's join barrier:
         return jax.lax.psum(film, axis)
@@ -99,6 +96,38 @@ def build_sharded_render(ss: StaticScene, width: int, height: int, spp: int,
     return run
 
 
+def build_sharded_render(ss: StaticScene, width: int, height: int, spp: int,
+                         depth: int, mesh: Mesh,
+                         chunk: int = 1) -> Callable:
+    """Compile a sample-sharded SimplePathTracer render over `mesh`.
+
+    Returns `fn(cam: CameraParams, seeds: (n_dev,) int32) -> (H, W, 3)`
+    gamma'd image (row 0 = BOTTOM).  `spp` is the TOTAL sample budget and
+    must be divisible by n_devices * chunk."""
+    def trace(o, d, key):
+        return trace_diffuse_wavefront(ss, o, d, key, depth)
+
+    return _build_sharded_film(trace, width, height, spp, mesh, chunk)
+
+
+def build_sharded_render_acc(ss: StaticScene, width: int, height: int,
+                             spp: int, depth: int, mesh: Mesh,
+                             chunk: int = 1, tri_bvh=None,
+                             env_map=None) -> Callable:
+    """Compile a sample-sharded AccPathTracer (4-BSDF) render over `mesh`.
+
+    `tri_bvh` (a `bvh.MeshAccel` or `bvh.BlockedTris`) and `env_map` are
+    baked into the program as constants — XLA replicates them to every
+    device, exactly what a read-only acceleration structure wants."""
+    from ..renderers.acc_pt import trace_bsdf_wavefront
+
+    def trace(o, d, key):
+        return trace_bsdf_wavefront(ss, o, d, key, depth, env_map=env_map,
+                                    tri_bvh=tri_bvh)
+
+    return _build_sharded_film(trace, width, height, spp, mesh, chunk)
+
+
 def render_multichip(ss: StaticScene, cam: CameraParams, width: int,
                      height: int, spp: int, depth: int,
                      mesh: Optional[Mesh] = None, seed: int = 0,
@@ -108,5 +137,20 @@ def render_multichip(ss: StaticScene, cam: CameraParams, width: int,
     n_dev = mesh.devices.size
     fn = build_sharded_render(ss, width, height, spp, depth, mesh,
                               chunk=chunk)
+    seeds = jnp.arange(seed, seed + n_dev, dtype=jnp.int32)
+    return fn(cam, seeds)
+
+
+def render_multichip_acc(ss: StaticScene, cam: CameraParams, width: int,
+                         height: int, spp: int, depth: int,
+                         mesh: Optional[Mesh] = None, seed: int = 0,
+                         chunk: int = 1, tri_bvh=None,
+                         env_map=None) -> jnp.ndarray:
+    """Convenience wrapper: sample-parallel 4-BSDF render across devices."""
+    mesh = mesh or make_mesh()
+    n_dev = mesh.devices.size
+    fn = build_sharded_render_acc(ss, width, height, spp, depth, mesh,
+                                  chunk=chunk, tri_bvh=tri_bvh,
+                                  env_map=env_map)
     seeds = jnp.arange(seed, seed + n_dev, dtype=jnp.int32)
     return fn(cam, seeds)

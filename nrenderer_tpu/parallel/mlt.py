@@ -1,0 +1,181 @@
+"""Chain-sharded MLT: Markov chains SPMD over a device mesh.
+
+The reference's MLT parallelism is 8 racy `std::thread`s mutating one
+shared film (`metropolis_light_transport/src/Metropolis.cpp:7,94-101`,
+SURVEY.md §2.9).  The single-chip rebuild already replaces that with
+thousands of lockstep lane-parallel chains (renderers/mlt.py); this module
+shards the CHAIN axis over a `jax.sharding.Mesh` with `shard_map`:
+
+  - every device runs `chains / n_devices` chains with a device-folded PRNG
+    stream (race-free by construction, SURVEY §5.2)
+  - the brightness estimate b is one scalar `psum` (each device contributes
+    its init-sample sum)
+  - each device splats into its own film; one `psum` of (H*W, 3) floats at
+    flush combines them — the collective that replaces the reference's
+    racy shared-buffer writes
+
+The per-device chain pipeline is the SAME `MLTKernel` the single-chip
+driver uses; block-resumable compiles and the `_finish_mlt` driver loop are
+reused verbatim (the sharded functions have identical call signatures)."""
+from __future__ import annotations
+
+import hashlib
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..ops.sampling import make_base_key
+from ..renderers.mlt import (
+    LARGE_STEP_PROB, _finish_mlt, _prepare_mlt,
+)
+from ..scene.model import Scene
+from .mesh import make_mesh
+
+_SHARDED_MLT_CACHE: Dict[str, tuple] = {}
+
+
+def render_mlt_sharded(scene: Scene, chains: int = 4096,
+                       mutations: int = 256, n_init: int = 10000,
+                       seed: int = 0, mesh: Optional[Mesh] = None,
+                       max_path: int = None) -> np.ndarray:
+    """Chain-sharded MLT render over `mesh`; same output contract as
+    `renderers.mlt.render_mlt` ((H, W, 4) RGBA, row 0 = TOP).  `chains` is
+    the TOTAL chain count and must divide by the device count."""
+    import os
+    mesh = mesh or make_mesh()
+    n_dev = int(mesh.devices.size)
+    axis = mesh.axis_names[0]
+    prep = _prepare_mlt(scene, max_path)
+    if prep is None:
+        ro = scene.render_option
+        return np.zeros((ro.height, ro.width, 4), np.float32)
+    kern, width, height = prep
+    assert chains % n_dev == 0, (chains, n_dev)
+    c_loc = chains // n_dev
+    ns = kern.n_states
+    n_pix = width * height
+    key = make_base_key(seed)
+    block = min(mutations, int(os.environ.get("NR_MLT_BLOCK", "128")))
+
+    cache_key = hashlib.sha1(repr(
+        (kern.ss, kern.cam, width, height, kern.max_path, kern.emitted,
+         kern.light_pos, kern.light_u, kern.light_v, chains, n_init, block,
+         n_dev)).encode()).hexdigest()
+    cached = _SHARDED_MLT_CACHE.get(cache_key)
+    if cached is not None:
+        return _finish_mlt(*cached, key, width, height, chains, mutations,
+                           block)
+
+    def dev_key(key):
+        return jax.random.fold_in(key, jax.lax.axis_index(axis))
+
+    # carry: (film (n_dev, n_pix, 3) dev-sharded, u (ns, C), contribs
+    # 6 x (n_combo, C), sc (C,), w_acc (C,)) — C sharded on its last/only axis
+    carry_specs = (P(axis), P(None, axis),
+                   (P(None, axis),) * 6, P(axis), P(axis))
+
+    def splat(film, contribs, weight):
+        px, py, cr, cg, cb, valid = contribs
+        ix = px.astype(jnp.int32)
+        iy = py.astype(jnp.int32)
+        ok = (valid & (ix >= 0) & (ix < width) & (iy >= 0) & (iy < height))
+        flat = jnp.where(ok, iy * width + ix, n_pix)  # n_pix = dropped
+        w = weight[None, :]
+        vals = jnp.stack([cr * w, cg * w, cb * w], axis=-1)
+        return film.at[flat.reshape(-1)].add(vals.reshape(-1, 3),
+                                             mode="drop")
+
+    def _b_sm(key):
+        k = dev_key(key)
+        steps = max(1, n_init // chains)
+
+        def body(acc, i):
+            u = jax.random.uniform(jax.random.fold_in(k, i), (ns, c_loc))
+            _, sc = kern.sample(u)
+            return acc + jnp.sum(sc), None
+
+        total, _ = jax.lax.scan(body, jnp.zeros(()),
+                                jnp.arange(steps, dtype=jnp.int32))
+        return jax.lax.psum(total, axis) / (steps * chains)
+
+    estimate_b = jax.jit(jax.shard_map(
+        _b_sm, mesh=mesh, in_specs=(P(),), out_specs=P(), check_vma=False))
+
+    def _init_sm(key):
+        u_cur = jax.random.uniform(dev_key(key), (ns, c_loc))
+        contribs, sc_cur = kern.sample(u_cur)
+        film = jnp.zeros((1, n_pix, 3))
+        w_acc = jnp.zeros((c_loc,))
+        return (film, u_cur, contribs, sc_cur, w_acc)
+
+    init_chains = jax.jit(jax.shard_map(
+        _init_sm, mesh=mesh, in_specs=(P(),), out_specs=carry_specs,
+        check_vma=False))
+
+    def _block_sm(key, b, carry):
+        k_dev = dev_key(key)
+
+        def step(carry, i):
+            film, u_cur, cur_contribs, sc_cur, w_acc = carry
+            k = jax.random.fold_in(k_dev, i)
+            k1, k2, k3 = jax.random.split(k, 3)
+            is_large = jax.random.uniform(k1, (c_loc,)) <= LARGE_STEP_PROB
+            u_fresh = jax.random.uniform(k2, (ns, c_loc))
+            u_mut = kern.mutate(u_cur, k3)
+            u_prop = jnp.where(is_large[None, :], u_fresh, u_mut)
+            prop_contribs, sc_prop = kern.sample(u_prop)
+
+            a = jnp.where(sc_cur > 0,
+                          jnp.clip(sc_prop / jnp.where(sc_cur > 0, sc_cur,
+                                                       1.0), 0.0, 1.0), 1.0)
+            ilf = is_large.astype(jnp.float32)
+            w_prop = jnp.where(sc_prop > 0,
+                               (a + ilf) / (sc_prop / b + LARGE_STEP_PROB),
+                               0.0)
+            w_cur_step = jnp.where(sc_cur > 0,
+                                   (1.0 - a) / (sc_cur / b
+                                                + LARGE_STEP_PROB), 0.0)
+            w_acc = w_acc + w_cur_step
+
+            k4 = jax.random.fold_in(k, 777)
+            accept = jax.random.uniform(k4, (c_loc,)) <= a
+
+            aw = accept.astype(jnp.float32)
+            splat_weight = aw * w_acc + (1.0 - aw) * w_prop
+            splat_contribs = tuple(
+                jnp.where(accept[None, :], c, p)
+                for c, p in zip(cur_contribs, prop_contribs))
+            film = splat(film[0], splat_contribs, splat_weight)[None]
+
+            new_contribs = tuple(
+                jnp.where(accept[None, :], p, c)
+                for c, p in zip(cur_contribs, prop_contribs))
+            u_cur = jnp.where(accept[None, :], u_prop, u_cur)
+            sc_cur = jnp.where(accept, sc_prop, sc_cur)
+            w_acc = jnp.where(accept, w_prop, w_acc)
+            return (film, u_cur, new_contribs, sc_cur, w_acc), None
+
+        carry, _ = jax.lax.scan(step, carry,
+                                jnp.arange(block, dtype=jnp.int32))
+        return carry
+
+    run_block = jax.jit(jax.shard_map(
+        _block_sm, mesh=mesh, in_specs=(P(), P(), carry_specs),
+        out_specs=carry_specs, check_vma=False))
+
+    def _flush_sm(carry):
+        film, u_cur, cur_contribs, sc_cur, w_acc = carry
+        local = splat(film[0], cur_contribs, w_acc)
+        return jax.lax.psum(local, axis)
+
+    flush_film = jax.jit(jax.shard_map(
+        _flush_sm, mesh=mesh, in_specs=(carry_specs,), out_specs=P(),
+        check_vma=False))
+
+    _SHARDED_MLT_CACHE[cache_key] = (estimate_b, init_chains, run_block,
+                                     flush_film)
+    return _finish_mlt(estimate_b, init_chains, run_block, flush_film, key,
+                       width, height, chains, mutations, block)

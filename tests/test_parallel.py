@@ -60,3 +60,91 @@ def test_spp_divisibility_checked(setup):
     mesh = make_mesh(8)
     with pytest.raises(AssertionError):
         build_sharded_render(ss, 8, 8, 12, 2, mesh)  # 12 % 8 != 0
+
+
+def test_sharded_acc_bsdf(setup):
+    """Sample-sharded AccPathTracer (4-BSDF wavefront) over 8 devices."""
+    from nrenderer_tpu.parallel.mesh import render_multichip_acc
+
+    scene = load_scn("/root/reference/resource/pt_glass.scn")
+    arr = build_scene_arrays(scene)
+    ss = make_static_scene(arr)
+    cam = make_camera(scene.camera)
+    img8 = np.asarray(render_multichip_acc(ss, cam, 16, 16, 16, 3,
+                                           mesh=make_mesh(8), seed=0))
+    assert img8.shape == (16, 16, 3)
+    assert np.isfinite(img8).all()
+    assert img8.max() > 0
+    img1 = np.asarray(render_multichip_acc(ss, cam, 16, 16, 16, 3,
+                                           mesh=make_mesh(1), seed=9))
+    assert abs(img8.mean() - img1.mean()) < 0.08
+
+
+def test_sharded_acc_mesh_pallas():
+    """Sharded AccPT with the Pallas mesh engine (interpret) replicated
+    across the 8-device mesh — the read-only acceleration structure is a
+    baked constant on every device."""
+    from nrenderer_tpu import load_obj
+    from nrenderer_tpu.ops.bvh import build_mesh_accel
+    from nrenderer_tpu.ops.pt_core import make_mat_channels
+    from nrenderer_tpu.parallel.mesh import render_multichip_acc
+    from nrenderer_tpu.scene.model import AreaLight, Material, Property, \
+        PropertyType
+
+    s = load_obj("/root/reference/resource/obj/bunny_200_faces.obj")
+    s.models[0].scale = (600.0, 600.0, 600.0)
+    s.models[0].translation = (40.0, -305.0, 920.0)
+    s.mesh_buffer[0].material = 0
+    m = Material(name="W", type=0)
+    m.register_property(Property("diffuseColor", PropertyType.RGB,
+                                 (0.7, 0.7, 0.7)))
+    s.materials.append(m)
+    s.area_light_buffer.append(AreaLight(position=(-200.0, 300.0, 700.0),
+                                         u=(400.0, 0.0, 0.0),
+                                         v=(0.0, 0.0, 400.0),
+                                         radiance=(3.0, 3.0, 3.0)))
+    s.camera.position = (0.0, 0.0, -500.0)
+    arr = build_scene_arrays(s)
+    ss = make_static_scene(arr)
+    cam = make_camera(s.camera)
+    ma = build_mesh_accel(arr, make_mat_channels(ss))
+    img = np.asarray(render_multichip_acc(ss, cam, 16, 16, 8, 2,
+                                          mesh=make_mesh(8), seed=0,
+                                          tri_bvh=ma))
+    assert img.shape == (16, 16, 3)
+    assert np.isfinite(img).all()
+    assert img.max() > 0
+
+
+def test_sharded_mlt_chains():
+    """Chain-sharded MLT over the 8-device mesh agrees statistically with
+    the single-chip driver at the same total chain budget."""
+    from nrenderer_tpu.parallel.mlt import render_mlt_sharded
+    from nrenderer_tpu.renderers.mlt import render_mlt
+
+    scene = load_scn("/root/reference/resource/Metropolis.scn")
+    scene.render_option.width = 32
+    scene.render_option.height = 32
+    scene.render_option.depth = 6
+
+    rgba8 = render_mlt_sharded(scene, chains=128, mutations=32, n_init=512,
+                               seed=0, mesh=make_mesh(8))
+    assert rgba8.shape == (32, 32, 4)
+    assert np.isfinite(rgba8).all()
+    assert rgba8[..., :3].max() > 0.05
+
+    rgba1 = render_mlt(scene, chains=128, mutations=32, n_init=512, seed=3)
+    # same estimator, independent streams: means agree within MC noise
+    assert abs(rgba8[..., :3].mean() - rgba1[..., :3].mean()) < 0.12
+
+    # structure (same checks as tests/test_mlt.py, scaled to 32x32; a
+    # plain upper/lower-half mean is too noisy at this budget — verified
+    # the single-chip renderer shows the same near-flat halves): the light
+    # quad near the top center is the brightest area, left wall
+    # red-dominant, right wall green-dominant (row 0 = TOP)
+    img = rgba8[..., :3]
+    assert img[1:6, 12:20].sum(axis=2).max() > img.sum(axis=2).mean()
+    left = img[12:20, 0:4].mean(axis=(0, 1))
+    right = img[12:20, 28:32].mean(axis=(0, 1))
+    assert left[0] > left[2]
+    assert right[1] > right[0]
