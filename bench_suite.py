@@ -108,6 +108,39 @@ def main() -> int:
                  f"{ro.samples_per_pixel} spp, depth 8", dt,
                  f"{ro.samples_per_pixel / dt:.2f} spp/s"))
 
+    # 4b. Env-map spheres (config 4's other half) — the reference DECLARES
+    # Ambient::ENVIROMENT_MAP (`Scene.hpp:29-38`) but no shipped renderer
+    # ever samples it, so there is no reference number; the rebuild renders
+    # it on the Pallas fast path (in-kernel binned lookup + exact bounce-0
+    # pass).
+    from nrenderer_tpu.io.image import load_image
+    from nrenderer_tpu.scene.model import AmbientType, Texture
+    scene = load_scn(f"{RES}/env_map_spheres.scn")
+    px = load_image(f"{RES}/textures/wallhaven-8o77d1.jpg")
+    if px is not None:
+        scene.ambient.environment_map = len(scene.textures)
+        scene.textures.append(Texture(name="env", pixels=px))
+        scene.ambient.type = AmbientType.ENVIRONMENT_MAP
+        arr = build_scene_arrays(scene)
+        ss = make_static_scene(arr)
+        cam = make_camera(scene.camera)
+        env_spp = min(spp, 1024)
+        if backend == "cpu":
+            from nrenderer_tpu.renderers.acc_pt import (
+                get_render_fn as acc_fn)
+            from nrenderer_tpu.renderers.simple_pt import pick_chunk
+            from nrenderer_tpu.ops.sampling import make_base_key
+            chunk = pick_chunk(size, size, env_spp)
+            fn = acc_fn(ss, size, size, env_spp, 8, chunk, False, True)
+            dt, img = timed(
+                lambda: fn(cam, arr.env_map, make_base_key(1), None))
+        else:
+            dt, img = timed(render_bsdf_pt_pallas, ss, cam, size, size,
+                            env_spp, 8, seed=1, env_map=arr.env_map)
+        rows.append(("AccPT env-map spheres", f"{size}x{size}, {env_spp} "
+                     "spp, depth 8", dt,
+                     f"{env_spp / dt:.0f} spp/s (ref: unimplemented)"))
+
     # 5. MLT (config 5) — warm the block compile, then measure steady state
     from nrenderer_tpu.renderers.mlt import render_mlt
     scene = load_scn(f"{RES}/Metropolis.scn")

@@ -247,9 +247,12 @@ def _warn_compaction_overflow(n_hit, cap):
 
 def diffuse_bounce(ss: StaticScene, albedo_ch, o: V3, d: V3, throughput: V3,
                    radiance: V3, alive, u1, u2, t_min: float = 1e-6,
-                   tri_bvh=None) -> Tuple[V3, V3, V3, V3, jnp.ndarray]:
+                   tri_bvh=None, with_miss: bool = False
+                   ) -> Tuple[V3, V3, V3, V3, jnp.ndarray]:
     """One bounce of the diffuse estimator; returns updated
-    (o, d, throughput, radiance, alive).
+    (o, d, throughput, radiance, alive) — plus the miss mask (alive rays
+    that hit neither an object nor a light, i.e. env-map candidates; their
+    o/d/throughput are left untouched) when `with_miss`.
 
     `u1, u2`: uniforms in [0,1) shaped like o.x (hemisphere sampling).
     `alive`: boolean mask of rays still carrying throughput."""
@@ -275,6 +278,9 @@ def diffuse_bounce(ss: StaticScene, albedo_ch, o: V3, d: V3, throughput: V3,
                     throughput.z * jnp.where(obj_first, az * scale, 1.0))
     o = where3(obj_first, hit.point, o)
     d = where3(obj_first, new_d, d)
+    if with_miss:
+        return o, d, throughput, radiance, obj_first, (alive & ~obj_first
+                                                       & ~light_hit)
     return o, d, throughput, radiance, obj_first
 
 
@@ -440,11 +446,14 @@ def make_mat_channels(ss: StaticScene):
 
 def bsdf_bounce(ss: StaticScene, mat_ch, o: V3, d: V3, throughput: V3,
                 radiance: V3, alive, u1, u2, u3, t_min: float = 1e-6,
-                tri_bvh=None) -> Tuple[V3, V3, V3, V3, jnp.ndarray]:
+                tri_bvh=None, with_miss: bool = False
+                ) -> Tuple[V3, V3, V3, V3, jnp.ndarray]:
     """One bounce of the AccPathTracer estimator
     (`AccPathTracer.cpp:120-181`): closest hit, light hit, then branchless
     dispatch over material type {0 Lambertian, 1 conductor, 2 glass,
-    3 microfacet} (`acc/include/shaders/ShaderCreator.hpp:17-39`)."""
+    3 microfacet} (`acc/include/shaders/ShaderCreator.hpp:17-39`).
+    `with_miss`: also return the env-candidate miss mask (see
+    diffuse_bounce)."""
     hit = closest_hit(ss, o, d, t_min, mat_ch, tri_bvh, alive=alive)
     t_l, light_rad = intersect_area_lights_unrolled(ss, o, d, t_min=t_min)
 
@@ -500,6 +509,9 @@ def bsdf_bounce(ss: StaticScene, mat_ch, o: V3, d: V3, throughput: V3,
                     throughput.z * jnp.where(obj_first, w.z, 1.0))
     o = where3(obj_first, hit.point, o)
     d = where3(obj_first, new_d, d)
+    if with_miss:
+        return o, d, throughput, radiance, obj_first, (alive & ~obj_first
+                                                       & ~light_hit)
     return o, d, throughput, radiance, obj_first
 
 

@@ -52,12 +52,65 @@ def _camera_tuple(cam) -> Tuple[float, ...]:
             + (float(cam.lens_radius),))
 
 
-def _pt_kernel(seed_ref, film_r, film_g, film_b, *, ss: StaticScene,
+def _atan2_approx(y, x):
+    """Polynomial atan2 for the env-bin index (Mosaic has no atan2
+    lowering).  Max error ~1e-5 rad — the 128-lane equirect bin width is
+    ~0.05 rad, so only exact-boundary directions can flip a bin."""
+    ax = jnp.abs(x)
+    ay = jnp.abs(y)
+    mx = jnp.maximum(ax, ay)
+    mn = jnp.minimum(ax, ay)
+    a = mn / jnp.maximum(mx, jnp.float32(1e-30))
+    s = a * a
+    r = a * (0.99997726 + s * (-0.33262347 + s * (0.19354346 + s * (
+        -0.11643287 + s * (0.05265332 - 0.01172120 * s)))))
+    r = jnp.where(ay > ax, jnp.float32(0.5 * np.pi) - r, r)
+    r = jnp.where(x < 0.0, jnp.float32(np.pi) - r, r)
+    return jnp.where(y < 0.0, -r, r)
+
+
+def _asin_approx(y):
+    """asin via atan2(y, sqrt(1-y^2)); y pre-clipped to [-1, 1]."""
+    return _atan2_approx(y, jnp.sqrt(jnp.maximum(1.0 - y * y, 0.0)))
+
+
+def _env_gather(tab_ref, row, col, rows: int):
+    """(rows, 128)-bin table lookup for (SUB, LANES) rays.
+
+    Mosaic's `tpu.dynamic_gather` only shuffles within one vreg along the
+    gather axis, so a flat table gather is out; instead each 128-lane table
+    row is broadcast to the tile and gathered along the LANE axis (the one
+    supported full-width case), and the `rows` layers are combined with a
+    select chain on the row index.  One lookup per SAMPLE (at the recorded
+    miss), not per bounce, keeps this off the hot path."""
+    g = jnp.take_along_axis(
+        jnp.broadcast_to(tab_ref[0][None, :], (SUB, LANES)), col, axis=1)
+    for k in range(1, rows):
+        gk = jnp.take_along_axis(
+            jnp.broadcast_to(tab_ref[k][None, :], (SUB, LANES)), col, axis=1)
+        g = jnp.where(row == k, gk, g)
+    return g
+
+
+def _pt_kernel(seed_ref, *refs, ss: StaticScene,
                cam: Tuple[float, ...], width: int, height: int, spp: int,
-               depth: int, t_min: float, bsdf: bool = False):
+               depth: int, t_min: float, bsdf: bool = False,
+               env_rows: int = 0):
     """`bsdf=False`: SimplePathTracer (diffuse-only).  `bsdf=True`:
     AccPathTracer's 4-lobe dispatch (pt_core.bsdf_bounce) — same kernel
-    skeleton, one extra uniform per bounce."""
+    skeleton, one extra uniform per bounce.
+
+    `env_rows > 0`: environment-map misses.  Each ray can miss at most once
+    per sample (it dies there), so the bounce loop only RECORDS the miss
+    (throughput + direction, 6 extra f32 carries) and ONE binned equirect
+    lookup per sample happens after the loop (`_env_gather`).  Bounce-0
+    misses are excluded — the driver adds them exactly at full env
+    resolution outside the kernel (`_env_primary_linear`), since primary
+    rays are recomputable from the same counter-based hash RNG."""
+    if env_rows:
+        envr_ref, envg_ref, envb_ref, film_r, film_g, film_b = refs
+    else:
+        film_r, film_g, film_b = refs
     seed = seed_ref[0]
 
     (px0, py0, pz0, llx, lly, llz, hx, hy, hz, vx, vy, vz,
@@ -115,25 +168,59 @@ def _pt_kernel(seed_ref, film_r, film_g, film_b, *, ss: StaticScene,
         # alive is carried as a float mask: the remote Mosaic build rejects
         # vector<i1> loop carries through scf.for
         state = (o, d, V3(ones, ones, ones), V3(zeros, zeros, zeros), ones)
+        if env_rows:
+            # (throughput, direction) at the ray's miss bounce, if any
+            state = state + (V3(zeros, zeros, zeros),
+                             V3(zeros, zeros, ones))
 
         def bounce_body(b, st):
-            o, d, thr, rad, alive_f = st
+            if env_rows:
+                o, d, thr, rad, alive_f, thr_m, d_m = st
+            else:
+                o, d, thr, rad, alive_f = st
             bseed = seed + b * jnp.int32(-1640531535)
             u1 = hash_uniform(pid, sp, 4, bseed)
             u2 = hash_uniform(pid, sp, 5, bseed)
+            wm = bool(env_rows)
             if bsdf:
                 u3 = hash_uniform(pid, sp, 6, bseed)
-                o, d, thr, rad, alive = bsdf_bounce(
+                out = bsdf_bounce(
                     ss, mat_ch, o, d, thr, rad, alive_f > 0.5, u1, u2, u3,
-                    t_min=t_min)
+                    t_min=t_min, with_miss=wm)
             else:
-                o, d, thr, rad, alive = diffuse_bounce(
+                out = diffuse_bounce(
                     ss, albedo_ch, o, d, thr, rad, alive_f > 0.5, u1, u2,
-                    t_min=t_min)
+                    t_min=t_min, with_miss=wm)
+            if env_rows:
+                o, d, thr, rad, alive, miss = out
+                # bounce-0 misses handled exactly by the driver
+                rec = (miss & (b > 0)).astype(jnp.float32)
+                thr_m = V3(thr_m.x + rec * thr.x, thr_m.y + rec * thr.y,
+                           thr_m.z + rec * thr.z)
+                keep = 1.0 - rec
+                d_m = V3(d_m.x * keep + rec * d.x, d_m.y * keep + rec * d.y,
+                         d_m.z * keep + rec * d.z)
+                return (o, d, thr, rad, alive.astype(jnp.float32), thr_m,
+                        d_m)
+            o, d, thr, rad, alive = out
             return (o, d, thr, rad, alive.astype(jnp.float32))
 
-        o, d, thr, rad, alive_f = jax.lax.fori_loop(0, depth, bounce_body,
-                                                    state)
+        st = jax.lax.fori_loop(0, depth, bounce_body, state)
+        if env_rows:
+            o, d, thr, rad, alive_f, thr_m, d_m = st
+            # binned equirect lookup (same index math as env.sample_env_map)
+            u = 0.5 + _atan2_approx(d_m.z, d_m.x) * jnp.float32(0.5 / np.pi)
+            v = 0.5 - _asin_approx(jnp.clip(d_m.y, -1.0, 1.0)) \
+                * jnp.float32(1.0 / np.pi)
+            col = jnp.clip((u * LANES).astype(jnp.int32), 0, LANES - 1)
+            row = jnp.clip((v * env_rows).astype(jnp.int32), 0, env_rows - 1)
+            er = _env_gather(envr_ref, row, col, env_rows)
+            eg = _env_gather(envg_ref, row, col, env_rows)
+            eb = _env_gather(envb_ref, row, col, env_rows)
+            rad = V3(rad.x + thr_m.x * er, rad.y + thr_m.y * eg,
+                     rad.z + thr_m.z * eb)
+        else:
+            o, d, thr, rad, alive_f = st
         rad = finish_ambient(ss, thr, rad, alive_f > 0.5)
         return (fr + rad.x, fg + rad.y, fb + rad.z)
 
@@ -149,28 +236,33 @@ def _pt_kernel(seed_ref, film_r, film_g, film_b, *, ss: StaticScene,
 @functools.lru_cache(maxsize=32)
 def _build_pallas_pt(ss: StaticScene, cam: Tuple[float, ...], width: int,
                      height: int, spp: int, depth: int, t_min: float,
-                     bsdf: bool = False, linear: bool = False):
+                     bsdf: bool = False, linear: bool = False,
+                     env_rows: int = 0):
     n_pix = width * height
     tile = SUB * LANES
     n_tiles = pl.cdiv(n_pix, tile)
 
     kernel = functools.partial(_pt_kernel, ss=ss, cam=cam, width=width,
                                height=height, spp=spp, depth=depth,
-                               t_min=t_min, bsdf=bsdf)
+                               t_min=t_min, bsdf=bsdf, env_rows=env_rows)
     film_shape = jax.ShapeDtypeStruct((n_tiles, SUB, LANES), jnp.float32)
     block = pl.BlockSpec((1, SUB, LANES), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
+    if env_rows:
+        # bin tables are tiny ((rows, 128) x 3) and replicated to each tile
+        in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 3
 
     @jax.jit
-    def run(seed: jnp.ndarray) -> jnp.ndarray:
+    def run(seed: jnp.ndarray, *env_tabs) -> jnp.ndarray:
         fr, fg, fb = pl.pallas_call(
             kernel,
             grid=(n_tiles,),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
+            in_specs=in_specs,
             out_shape=(film_shape, film_shape, film_shape),
             out_specs=(block, block, block),
             compiler_params=pltpu.CompilerParams(has_side_effects=True),
-        )(seed.reshape(1).astype(jnp.int32))
+        )(seed.reshape(1).astype(jnp.int32), *env_tabs)
         film = jnp.stack([fr.reshape(-1)[:n_pix], fg.reshape(-1)[:n_pix],
                           fb.reshape(-1)[:n_pix]], axis=-1)
         if linear:
@@ -181,39 +273,146 @@ def _build_pallas_pt(ss: StaticScene, cam: Tuple[float, ...], width: int,
     return run
 
 
+ENV_ROWS = 32  # in-kernel env bin table: ENV_ROWS x 128 bins
+
+
+@functools.lru_cache(maxsize=32)
+def _build_env_primary(ss: StaticScene, cam: Tuple[float, ...], width: int,
+                       height: int, spp: int, t_min: float):
+    """Exact full-resolution env radiance of PRIMARY-ray misses:
+    `run(seed, env_map) -> (n_pix, 3)` linear film SUM over `spp` samples.
+
+    Reproduces the megakernel's hash-based pixel jitter (and thin-lens
+    draws) bit-for-bit, so kernel + this pass = the full estimator with
+    bounce-0 env at the map's native resolution."""
+    n_pix = width * height
+    c = 1
+    for k in range(1, spp + 1):
+        if spp % k == 0 and n_pix * k <= (1 << 21):
+            c = k
+    n_steps = spp // c
+    (px0, py0, pz0, llx, lly, llz, hx, hy, hz, vx, vy, vz,
+     ux, uy, uz, cvx, cvy, cvz, lens_r) = cam
+    inv_w = 1.0 / width
+    inv_h = 1.0 / height
+
+    @jax.jit
+    def run(seed, env_map):
+        pid = jnp.arange(n_pix, dtype=jnp.int32)[None, :]
+        pyi = pid // width
+        pxf = (pid - pyi * width).astype(jnp.float32)
+        pyf = pyi.astype(jnp.float32)
+
+        def step(film, s0):
+            sp = s0 * c + jnp.arange(c, dtype=jnp.int32)[:, None]
+            rnd = lambda draw: hash_uniform(pid, sp, draw, seed)
+            s = (pxf + rnd(0) * 2.0 - 1.0) * inv_w
+            t = (pyf + rnd(1) * 2.0 - 1.0) * inv_h
+            if lens_r > 0.0:
+                lr = jnp.sqrt(rnd(2)) * lens_r
+                phi = rnd(3) * jnp.float32(2.0 * np.pi)
+                du = lr * jnp.cos(phi)
+                dv = lr * jnp.sin(phi)
+                ox = px0 + du * ux + dv * cvx
+                oy = py0 + du * uy + dv * cvy
+                oz = pz0 + du * uz + dv * cvz
+            else:
+                ox = jnp.full((c, n_pix), px0, jnp.float32)
+                oy = jnp.full((c, n_pix), py0, jnp.float32)
+                oz = jnp.full((c, n_pix), pz0, jnp.float32)
+            dx = llx + s * hx + t * vx - ox
+            dy = lly + s * hy + t * vy - oy
+            dz = llz + s * hz + t * vz - oz
+            inv_len = jax.lax.rsqrt(dx * dx + dy * dy + dz * dz)
+            o = V3(ox, oy, oz)
+            d = V3(dx * inv_len, dy * inv_len, dz * inv_len)
+            from .intersect import (
+                intersect_area_lights_unrolled, intersect_scene_unrolled,
+            )
+            from .env import sample_env_map_v3
+            hit = intersect_scene_unrolled(ss, o, d, t_min=t_min)
+            t_l, _ = intersect_area_lights_unrolled(ss, o, d, t_min=t_min)
+            miss = ~(hit.valid & (hit.t < t_l)) & ~jnp.isfinite(t_l)
+            env = sample_env_map_v3(env_map, d)
+            mw = miss.astype(jnp.float32)
+            fx, fy, fz = film
+            return (fx + (mw * env.x).sum(axis=0),
+                    fy + (mw * env.y).sum(axis=0),
+                    fz + (mw * env.z).sum(axis=0)), None
+
+        zeros = jnp.zeros((n_pix,), jnp.float32)
+        (fx, fy, fz), _ = jax.lax.scan(
+            step, (zeros, zeros, zeros),
+            jnp.arange(n_steps, dtype=jnp.int32))
+        return jnp.stack([fx, fy, fz], axis=-1)
+
+    return run
+
+
+def _env_tabs(env_map):
+    from .env import bin_env_map
+    t = bin_env_map(env_map, rows=ENV_ROWS, lanes=LANES)
+    return (jnp.asarray(t[0]), jnp.asarray(t[1]), jnp.asarray(t[2]))
+
+
+def _render_gamma(ss, cam, width, height, spp, depth, seed, t_min, bsdf,
+                  env_map):
+    """Shared driver: kernel (+ exact bounce-0 env pass) -> gamma'd image."""
+    hs = _hashable_static_scene(ss)
+    ct = _camera_tuple(cam)
+    if env_map is None:
+        run = _build_pallas_pt(hs, ct, width, height, spp, depth, t_min,
+                               bsdf=bsdf)
+        return run(jnp.asarray([seed], jnp.int32))
+    run = _build_pallas_pt(hs, ct, width, height, spp, depth, t_min,
+                           bsdf=bsdf, linear=True, env_rows=ENV_ROWS)
+    film = run(jnp.asarray([seed], jnp.int32), *_env_tabs(env_map))
+    prim = _build_env_primary(hs, ct, width, height, spp, t_min)
+    film = film + prim(jnp.int32(seed), jnp.asarray(env_map))
+    inv = 1.0 / float(spp)
+    return jnp.sqrt(jnp.maximum(film * inv, 0.0)).reshape(height, width, 3)
+
+
 def render_simple_pt_pallas(ss: StaticScene, cam, width: int, height: int,
                             spp: int, depth: int, seed: int = 0,
-                            t_min: float = None) -> jnp.ndarray:
+                            t_min: float = None,
+                            env_map=None) -> jnp.ndarray:
     """Full diffuse-PT render via the Pallas megakernel.
 
     Returns (H, W, 3) gamma'd image, row 0 = BOTTOM (same contract as
-    renderers.simple_pt.build_render_fn)."""
+    renderers.simple_pt.build_render_fn).  `env_map`: (He, We, 3) equirect
+    radiance for ambient type ENVIRONMENT_MAP (`Scene.hpp:29-38`)."""
     if t_min is None:
         from .pt_core import scene_epsilon
         t_min = scene_epsilon(ss)
-    run = _build_pallas_pt(_hashable_static_scene(ss), _camera_tuple(cam),
-                           width, height, spp, depth, t_min)
-    return run(jnp.asarray([seed], jnp.int32))
+    return _render_gamma(ss, cam, width, height, spp, depth, seed, t_min,
+                         False, env_map)
 
 
 def render_pt_pallas_linear(ss: StaticScene, cam, width: int, height: int,
                             spp: int, depth: int, seed: int = 0,
-                            t_min: float = None,
-                            bsdf: bool = False) -> jnp.ndarray:
+                            t_min: float = None, bsdf: bool = False,
+                            env_map=None) -> jnp.ndarray:
     """One progressive pass on the Pallas engine: LINEAR film SUM over
     `spp` samples, (n_pix, 3).  Distinct seeds give independent passes."""
     if t_min is None:
         from .pt_core import scene_epsilon
         t_min = scene_epsilon(ss)
-    run = _build_pallas_pt(_hashable_static_scene(ss), _camera_tuple(cam),
-                           width, height, spp, depth, t_min, bsdf=bsdf,
-                           linear=True)
-    return run(jnp.asarray([seed], jnp.int32))
+    hs = _hashable_static_scene(ss)
+    ct = _camera_tuple(cam)
+    run = _build_pallas_pt(hs, ct, width, height, spp, depth, t_min,
+                           bsdf=bsdf, linear=True,
+                           env_rows=ENV_ROWS if env_map is not None else 0)
+    if env_map is None:
+        return run(jnp.asarray([seed], jnp.int32))
+    film = run(jnp.asarray([seed], jnp.int32), *_env_tabs(env_map))
+    prim = _build_env_primary(hs, ct, width, height, spp, t_min)
+    return film + prim(jnp.int32(seed), jnp.asarray(env_map))
 
 
 def render_bsdf_pt_pallas(ss: StaticScene, cam, width: int, height: int,
                           spp: int, depth: int, seed: int = 0,
-                          t_min: float = None) -> jnp.ndarray:
+                          t_min: float = None, env_map=None) -> jnp.ndarray:
     """AccPathTracer's 4-BSDF estimator via the Pallas megakernel (no mesh
     BVH path inside the kernel yet — the acc renderer uses this engine only
     for brute-force-size scenes).  Same output contract as
@@ -221,9 +420,8 @@ def render_bsdf_pt_pallas(ss: StaticScene, cam, width: int, height: int,
     if t_min is None:
         from .pt_core import scene_epsilon
         t_min = scene_epsilon(ss)
-    run = _build_pallas_pt(_hashable_static_scene(ss), _camera_tuple(cam),
-                           width, height, spp, depth, t_min, bsdf=True)
-    return run(jnp.asarray([seed], jnp.int32))
+    return _render_gamma(ss, cam, width, height, spp, depth, seed, t_min,
+                         True, env_map)
 
 
 class _HashableScene:

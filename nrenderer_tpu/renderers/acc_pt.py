@@ -68,23 +68,25 @@ def trace_bsdf_wavefront(ss: StaticScene, o: V3, d: V3, key, depth: int,
         o, d, throughput, radiance, alive = carry
         kb = jax.random.fold_in(key, b)
         k1, k2, k3 = jax.random.split(kb, 3)
+        u1 = jax.random.uniform(k1, (n,))
+        u2 = jax.random.uniform(k2, (n,))
+        u3 = jax.random.uniform(k3, (n,))
         if env_map is not None:
-            hit_pre = intersect_scene_unrolled(ss, o, d, t_min=t_min)
-            t_l_pre, _ = intersect_area_lights_unrolled(ss, o, d,
-                                                        t_min=t_min)
-            miss = (alive & ~(hit_pre.valid & (hit_pre.t < t_l_pre))
-                    & ~jnp.isfinite(t_l_pre))
+            # missing rays keep their o/d/throughput, so the env term can
+            # be added AFTER the bounce from its own closest-hit result —
+            # no second intersection pass
+            o, d, throughput, radiance, alive, miss = bsdf_bounce(
+                ss, mat_ch, o, d, throughput, radiance, alive, u1, u2, u3,
+                t_min=t_min, tri_bvh=tri_bvh, with_miss=True)
             env = sample_env_map_v3(env_map, d)
             ew = miss.astype(o.x.dtype)
             radiance = V3(radiance.x + ew * throughput.x * env.x,
                           radiance.y + ew * throughput.y * env.y,
                           radiance.z + ew * throughput.z * env.z)
-        u1 = jax.random.uniform(k1, (n,))
-        u2 = jax.random.uniform(k2, (n,))
-        u3 = jax.random.uniform(k3, (n,))
-        o, d, throughput, radiance, alive = bsdf_bounce(
-            ss, mat_ch, o, d, throughput, radiance, alive, u1, u2, u3,
-            t_min=t_min, tri_bvh=tri_bvh)
+        else:
+            o, d, throughput, radiance, alive = bsdf_bounce(
+                ss, mat_ch, o, d, throughput, radiance, alive, u1, u2, u3,
+                t_min=t_min, tri_bvh=tri_bvh)
         return (o, d, throughput, radiance, alive), None
 
     (o, d, throughput, radiance, alive), _ = jax.lax.scan(
@@ -150,11 +152,12 @@ class AccPathTracerRenderer(RenderComponent):
         engine = os.environ.get("NR_ENGINE", "auto")
         use_pallas = (engine != "xla"
                       and jax.default_backend() not in ("cpu",)
-                      and not use_env and n_tri <= BVH_THRESHOLD)
+                      and n_tri <= BVH_THRESHOLD)
         if use_pallas:
             from ..ops.pt_pallas import render_bsdf_pt_pallas
-            img = np.asarray(render_bsdf_pt_pallas(ss, cam, w, h, spp,
-                                                   depth, seed=self.seed))
+            img = np.asarray(render_bsdf_pt_pallas(
+                ss, cam, w, h, spp, depth, seed=self.seed,
+                env_map=arrays.env_map if use_env else None))
             img = img[::-1]
             img = np.clip(img, 0.0, 1.0)
             get_server().logger.log("Done...")

@@ -78,23 +78,24 @@ def trace_diffuse_wavefront(ss: StaticScene, o: V3, d: V3, key, depth: int,
         o, d, throughput, radiance, alive = carry
         kb = jax.random.fold_in(key, b)
         k1, k2 = jax.random.split(kb)
+        u1 = jax.random.uniform(k1, (n,))
+        u2 = jax.random.uniform(k2, (n,))
         if env_map is not None:
-            # env contribution must be recorded before the state update
-            hit_pre = intersect_scene_unrolled(ss, o, d, t_min=t_min)
-            t_l_pre, _ = intersect_area_lights_unrolled(ss, o, d,
-                                                        t_min=t_min)
-            miss = (alive & ~(hit_pre.valid & (hit_pre.t < t_l_pre))
-                    & ~jnp.isfinite(t_l_pre))
+            # missing rays keep their o/d/throughput, so the env term can
+            # be added AFTER the bounce from its own closest-hit result —
+            # no second intersection pass
+            o, d, throughput, radiance, alive, miss = diffuse_bounce(
+                ss, albedo_ch, o, d, throughput, radiance, alive, u1, u2,
+                t_min=t_min, with_miss=True)
             env = sample_env_map_v3(env_map, d)
             ew = miss.astype(o.x.dtype)
             radiance = V3(radiance.x + ew * throughput.x * env.x,
                           radiance.y + ew * throughput.y * env.y,
                           radiance.z + ew * throughput.z * env.z)
-        u1 = jax.random.uniform(k1, (n,))
-        u2 = jax.random.uniform(k2, (n,))
-        o, d, throughput, radiance, alive = diffuse_bounce(
-            ss, albedo_ch, o, d, throughput, radiance, alive, u1, u2,
-            t_min=t_min)
+        else:
+            o, d, throughput, radiance, alive = diffuse_bounce(
+                ss, albedo_ch, o, d, throughput, radiance, alive, u1, u2,
+                t_min=t_min)
         return (o, d, throughput, radiance, alive), None
 
     (o, d, throughput, radiance, alive), _ = jax.lax.scan(
@@ -177,13 +178,14 @@ def render_progressive(scene_arrays, ss: StaticScene, cam, width, height,
             get_server().logger.log(
                 f"resumed at {spp_done}/{spp} spp from {checkpoint_path}")
 
-    use_pallas = (jax.default_backend() not in ("cpu",) and not use_env
+    use_pallas = (jax.default_backend() not in ("cpu",)
                   and not has_lens
                   and os.environ.get("NR_ENGINE", "auto") != "xla")
     if use_pallas:
         from ..ops.pt_pallas import render_pt_pallas_linear
         fn = lambda cam, env, key, step: render_pt_pallas_linear(
-            ss, cam, width, height, chunk, depth, seed=seed * 100003 + step)
+            ss, cam, width, height, chunk, depth, seed=seed * 100003 + step,
+            env_map=env if use_env else None)
     else:
         fn = build_linear_chunk_fn(ss, width, height, depth, chunk,
                                    has_lens, use_env)
@@ -270,16 +272,18 @@ class SimplePathTracerRenderer(RenderComponent):
             rgba = np.concatenate(
                 [img, np.ones((h, w, 1), np.float32)], axis=2)
             return RenderResult(pixels=rgba, width=w, height=h)
-        # Engine: the Pallas megakernel on TPU (fastest), XLA wavefront
-        # elsewhere / when env-map misses are needed (not in the kernel yet).
+        # Engine: the Pallas megakernel on TPU (fastest; env-map misses run
+        # in-kernel via the binned gather + exact bounce-0 pass), XLA
+        # wavefront elsewhere.
         engine = os.environ.get("NR_ENGINE", "auto")
         if engine == "auto":
             engine = ("pallas" if jax.default_backend() not in ("cpu",)
-                      and not use_env else "xla")
+                      else "xla")
         if engine == "pallas":
             from ..ops.pt_pallas import render_simple_pt_pallas
-            img = render_simple_pt_pallas(ss, cam, w, h, spp, depth,
-                                          seed=self.seed)
+            img = render_simple_pt_pallas(
+                ss, cam, w, h, spp, depth, seed=self.seed,
+                env_map=arrays.env_map if use_env else None)
         else:
             chunk = pick_chunk(w, h, spp)
             fn = get_render_fn(ss, w, h, spp, depth, chunk, has_lens,
