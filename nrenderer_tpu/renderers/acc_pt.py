@@ -136,13 +136,17 @@ class AccPathTracerRenderer(RenderComponent):
         self.seed = seed
 
     def render(self, scene: Scene) -> RenderResult:
+        # per-render phase stats (SURVEY §5.1), logged below
+        from ..utils.timing import GLOBAL_TIMER, PhaseTimer
+        timer = PhaseTimer()
         ro = scene.render_option
         w, h, spp, depth = (ro.width, ro.height, ro.samples_per_pixel,
                             ro.depth)
         import os
-        arrays = build_scene_arrays(scene)
-        ss = make_static_scene(arrays)
-        cam = make_camera(scene.camera)
+        with timer.phase("scene-prep"):
+            arrays = build_scene_arrays(scene)
+            ss = make_static_scene(arrays)
+            cam = make_camera(scene.camera)
         chunk = pick_chunk(w, h, spp)
         use_env = ss.ambient_type == 1
         has_lens = scene.camera.aperture > 0
@@ -155,11 +159,15 @@ class AccPathTracerRenderer(RenderComponent):
                       and n_tri <= BVH_THRESHOLD)
         if use_pallas:
             from ..ops.pt_pallas import render_bsdf_pt_pallas
-            img = np.asarray(render_bsdf_pt_pallas(
-                ss, cam, w, h, spp, depth, seed=self.seed,
-                env_map=arrays.env_map if use_env else None))
+            with timer.phase("render[pallas]"):
+                img = np.asarray(render_bsdf_pt_pallas(
+                    ss, cam, w, h, spp, depth, seed=self.seed,
+                    env_map=arrays.env_map if use_env else None))
             img = img[::-1]
             img = np.clip(img, 0.0, 1.0)
+            GLOBAL_TIMER.add("AccPathTracer.render",
+                             timer.get("render[pallas]").total_s)
+            get_server().logger.log("phases: " + timer.summary())
             get_server().logger.log("Done...")
             rgba = np.concatenate(
                 [img, np.ones((h, w, 1), np.float32)], axis=2)
@@ -174,15 +182,16 @@ class AccPathTracerRenderer(RenderComponent):
             # sweep (ops/bvh.py).  The per-ray BVH cursor walk is ~400x
             # slower on a vector unit; it remains available for comparison.
             mesh_engine = os.environ.get("NR_MESH_ENGINE", "pallas")
-            if mesh_engine == "pallas":
-                from ..ops.bvh import build_mesh_accel
-                tri_bvh = build_mesh_accel(arrays, make_mat_channels(ss))
-                n_blocks, blk = tri_bvh.bt.v1x.shape
-            else:
-                from ..ops.bvh import pack_blocked_triangles
-                tri_bvh = pack_blocked_triangles(arrays,
-                                                 make_mat_channels(ss))
-                n_blocks, blk = tri_bvh.v1x.shape
+            with timer.phase("bvh-build"):
+                if mesh_engine == "pallas":
+                    from ..ops.bvh import build_mesh_accel
+                    tri_bvh = build_mesh_accel(arrays, make_mat_channels(ss))
+                    n_blocks, blk = tri_bvh.bt.v1x.shape
+                else:
+                    from ..ops.bvh import pack_blocked_triangles
+                    tri_bvh = pack_blocked_triangles(arrays,
+                                                     make_mat_channels(ss))
+                    n_blocks, blk = tri_bvh.v1x.shape
             get_server().logger.log(
                 f"AccPathTracer: {mesh_engine} blocked-BVH sweep over "
                 f"{n_tri} triangles ({n_blocks} blocks of {blk})")
@@ -196,23 +205,35 @@ class AccPathTracerRenderer(RenderComponent):
             film = np.zeros((w * h, 3), np.float32)
             key = make_base_key(self.seed)
             for step in range(n_steps):
-                film += np.asarray(fn(cam, arrays.env_map,
-                                      jax.random.fold_in(key, step),
-                                      tri_bvh))
-                done = (step + 1) * chunk
-                img = np.sqrt(np.maximum(film / done, 0.0))
-                img = img.reshape(h, w, 3)[::-1]
-                get_server().screen.set(
-                    np.concatenate([img, np.ones((h, w, 1), np.float32)],
-                                   axis=2), w, h)
+                # jit compiles on the first call: report it separately
+                with timer.phase("compile+first-pass" if step == 0
+                                 else "render-pass"):
+                    film += np.asarray(fn(cam, arrays.env_map,
+                                          jax.random.fold_in(key, step),
+                                          tri_bvh))
+                with timer.phase("host-preview"):
+                    done = (step + 1) * chunk
+                    img = np.sqrt(np.maximum(film / done, 0.0))
+                    img = img.reshape(h, w, 3)[::-1]
+                    get_server().screen.set(
+                        np.concatenate(
+                            [img, np.ones((h, w, 1), np.float32)],
+                            axis=2), w, h)
             img = np.sqrt(np.maximum(film / spp, 0.0)).reshape(h, w, 3)
             img = img[::-1]
+            GLOBAL_TIMER.add("AccPathTracer.render",
+                             timer.get("render-pass").total_s)
         else:
             fn = get_render_fn(ss, w, h, spp, depth, chunk, has_lens,
                                use_env, use_bvh, False)
-            img = fn(cam, arrays.env_map, make_base_key(self.seed), tri_bvh)
-            img = np.asarray(img)[::-1]
+            with timer.phase("render(+compile)"):
+                img = np.asarray(fn(cam, arrays.env_map,
+                                    make_base_key(self.seed), tri_bvh))
+            img = img[::-1]
+            GLOBAL_TIMER.add("AccPathTracer.render",
+                             timer.get("render(+compile)").total_s)
         img = np.clip(img, 0.0, 1.0)
+        get_server().logger.log("phases: " + timer.summary())
         get_server().logger.log("Done...")
         rgba = np.concatenate([img, np.ones((h, w, 1), np.float32)], axis=2)
         return RenderResult(pixels=rgba, width=w, height=h)

@@ -770,27 +770,36 @@ def _finish_mlt(estimate_b, init_chains, run_block, flush_film, key, width,
                 height, chains, mutations, block) -> np.ndarray:
     import os
     import time as _time
+    from ..utils.timing import GLOBAL_TIMER, PhaseTimer
     debug = os.environ.get("NR_MLT_DEBUG") == "1"
-    t0 = _time.perf_counter()
-    b = float(estimate_b(key))
+    timer = PhaseTimer()
+    with timer.phase("b-estimate"):
+        b = float(estimate_b(key))
     if debug:
-        print(f"MLT: b-phase {_time.perf_counter() - t0:.1f}s", flush=True)
+        print(f"MLT: b-phase {timer.get('b-estimate').total_s:.1f}s",
+              flush=True)
     if not np.isfinite(b) or b <= 0:
         get_server().logger.warning("MLT: brightness estimate b <= 0")
         return np.zeros((height, width, 4), np.float32)
     get_server().logger.log(f"MLT: b = {b:.6g}")
 
-    t0 = _time.perf_counter()
     import jax as _jax
     k_init, k_loop = _jax.random.split(key)
-    carry = init_chains(k_init)
+    with timer.phase("chain-init"):
+        carry = init_chains(k_init)
     n_blocks = max(1, mutations // block)
     for i in range(n_blocks):
-        carry = run_block(_jax.random.fold_in(k_loop, i), b, carry)
-    film = np.asarray(flush_film(carry)).reshape(height, width, 3)
+        with timer.phase("mutate-blocks"):
+            carry = run_block(_jax.random.fold_in(k_loop, i), b, carry)
+    with timer.phase("film-flush"):
+        film = np.asarray(flush_film(carry)).reshape(height, width, 3)
     total_mut = n_blocks * block
+    dt = timer.get("mutate-blocks").total_s
+    GLOBAL_TIMER.add("MLT.mutate", dt)
+    get_server().logger.log(
+        f"phases: {timer.summary()} "
+        f"({chains * total_mut / max(dt, 1e-9) / 1e3:.1f} Kmut/s)")
     if debug:
-        dt = _time.perf_counter() - t0
         print(f"MLT: chain-phase {dt:.1f}s "
               f"({chains * total_mut / dt / 1e3:.1f} Kmut/s)", flush=True)
     # exposure tone map (`Metropolis.cpp:110-124`): s = w*h / total samples

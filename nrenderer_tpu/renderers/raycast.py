@@ -85,11 +85,17 @@ def render_raycast(scene_arrays: SceneArrays, cam: CameraParams,
     "Phong/Lambertian direct lighting from one point light, with shadows."))
 class RayCastRenderer(RenderComponent):
     def render(self, scene: Scene) -> RenderResult:
+        from ..server.registry import get_server
+        from ..utils.timing import PhaseTimer
+        timer = PhaseTimer()
         w = scene.render_option.width
         h = scene.render_option.height
-        arrays = build_scene_arrays(scene)
-        cam = make_camera(scene.camera)
-        img = np.asarray(render_raycast(arrays, cam, w, h))
+        with timer.phase("scene-prep"):
+            arrays = build_scene_arrays(scene)
+            cam = make_camera(scene.camera)
+        with timer.phase("render(+compile)"):
+            img = np.asarray(render_raycast(arrays, cam, w, h))
         img = img[::-1]  # bottom-up scan -> row 0 = top
+        get_server().logger.log("phases: " + timer.summary())
         rgba = np.concatenate([img, np.ones((h, w, 1), np.float32)], axis=2)
         return RenderResult(pixels=rgba, width=w, height=h)

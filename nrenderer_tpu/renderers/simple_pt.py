@@ -254,12 +254,17 @@ class SimplePathTracerRenderer(RenderComponent):
         self.preview_every = preview_every
 
     def render(self, scene: Scene) -> RenderResult:
+        # per-render phase stats, logged like the reference's per-thread
+        # intersect timing (`SimplePathTracer.cpp:90-94`, SURVEY §5.1)
+        from ..utils.timing import GLOBAL_TIMER, PhaseTimer
+        timer = PhaseTimer()
         ro = scene.render_option
         w, h, spp, depth = (ro.width, ro.height, ro.samples_per_pixel,
                             ro.depth)
-        arrays = build_scene_arrays(scene)
-        ss = make_static_scene(arrays)
-        cam = make_camera(scene.camera)
+        with timer.phase("scene-prep"):
+            arrays = build_scene_arrays(scene)
+            ss = make_static_scene(arrays)
+            cam = make_camera(scene.camera)
         use_env = ss.ambient_type == 1
         has_lens = scene.camera.aperture > 0
         if self.progressive:
@@ -281,16 +286,23 @@ class SimplePathTracerRenderer(RenderComponent):
                       else "xla")
         if engine == "pallas":
             from ..ops.pt_pallas import render_simple_pt_pallas
-            img = render_simple_pt_pallas(
-                ss, cam, w, h, spp, depth, seed=self.seed,
-                env_map=arrays.env_map if use_env else None)
+            with timer.phase(f"render[{engine}]"):
+                img = np.asarray(render_simple_pt_pallas(
+                    ss, cam, w, h, spp, depth, seed=self.seed,
+                    env_map=arrays.env_map if use_env else None))
         else:
             chunk = pick_chunk(w, h, spp)
             fn = get_render_fn(ss, w, h, spp, depth, chunk, has_lens,
                                use_env)
-            img = fn(cam, arrays.env_map, make_base_key(self.seed))
-        img = np.asarray(img)[::-1]  # bottom-up -> row 0 top
-        img = np.clip(img, 0.0, 1.0)  # Screen.set clamp (`Screen.cpp:63`)
+            with timer.phase(f"render[{engine}]"):
+                img = np.asarray(fn(cam, arrays.env_map,
+                                    make_base_key(self.seed)))
+        with timer.phase("host-post"):
+            img = img[::-1]  # bottom-up -> row 0 top
+            img = np.clip(img, 0.0, 1.0)  # Screen.set clamp (Screen.cpp:63)
+        GLOBAL_TIMER.add("SimplePathTracer.render",
+                         timer.get(f"render[{engine}]").total_s)
+        get_server().logger.log("phases: " + timer.summary())
         get_server().logger.log("Done...")
         rgba = np.concatenate([img, np.ones((h, w, 1), np.float32)], axis=2)
         return RenderResult(pixels=rgba, width=w, height=h)

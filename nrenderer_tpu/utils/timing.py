@@ -63,6 +63,17 @@ class PhaseTimer:
             self._phases.clear()
 
 
+    def summary(self) -> str:
+        """One-line phase summary for the Logger tail, e.g.
+        'prep 0.12s | render 3.41s x4 | host 0.05s'."""
+        with self._lock:
+            parts = []
+            for name, st in self._phases.items():
+                cnt = f" x{st.count}" if st.count > 1 else ""
+                parts.append(f"{name} {st.total_s:.2f}s{cnt}")
+        return " | ".join(parts)
+
+
 # process-global timer, like the reference's file-scope `timers[16]`
 GLOBAL_TIMER = PhaseTimer()
 
