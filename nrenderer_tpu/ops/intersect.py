@@ -294,6 +294,11 @@ class StaticScene(NamedTuple):
     ambient_type: int
     ambient_constant: tuple
     n_mats: int
+    # per-tri texture coords, parallel to `tri`: (u1x, u1y, e1x, e1y,
+    # e2x, e2y, tex_id) plain-float tuples; () when the scene has no
+    # textured faces (texture PIXELS are traced args, never baked here —
+    # this struct's repr is the compile-cache fingerprint)
+    tri_uv: tuple = ()
 
 
 def make_static_scene(scene_arrays: SceneArrays) -> StaticScene:
@@ -331,10 +336,18 @@ def make_static_scene(scene_arrays: SceneArrays) -> StaticScene:
             "f0": float(mp[mi, MAT_F0]),
             "metalness": float(mp[mi, MAT_METALNESS]),
         })
+    tri_uv = ()
+    if hasattr(a, "tri_tex") and np.any(f(a.tri_tex)[f(a.tri_valid)] >= 0):
+        tri_uv = tuple(
+            (float(u1[0]), float(u1[1]), float(e1[0]), float(e1[1]),
+             float(e2[0]), float(e2[1]), int(tx))
+            for u1, e1, e2, tx, v in zip(f(a.tri_uv1), f(a.tri_uve1),
+                                         f(a.tri_uve2), f(a.tri_tex),
+                                         f(a.tri_valid)) if v)
     return StaticScene(sph=sph, tri=tri, pln=pln, al=al, mats=mats,
                        ambient_type=int(a.ambient_type),
                        ambient_constant=tuple(f(a.ambient_constant)),
-                       n_mats=mp.shape[0])
+                       n_mats=mp.shape[0], tri_uv=tri_uv)
 
 
 def _is_zero(v) -> bool:
@@ -381,11 +394,13 @@ class HitUnrolled(NamedTuple):
     prim_id: jnp.ndarray  # (N,) float primitive id (enumeration order:
     #                       spheres, triangles, planes; -1 if miss)
     channels: tuple      # per-ray tracked material constants ((N,) each)
+    uv: tuple = None     # (tu, tv, tex_id) per-ray, only with `with_uv`
 
 
 def intersect_scene_unrolled(ss: StaticScene, o: V3, d: V3,
                              t_min: float = T_MIN_PT,
-                             mat_channels=None) -> HitUnrolled:
+                             mat_channels=None,
+                             with_uv: bool = False) -> HitUnrolled:
     """Closest hit with the primitive loop unrolled at trace time.
 
     Running per-ray state: best t, best normal, and — instead of a material
@@ -405,22 +420,30 @@ def intersect_scene_unrolled(ss: StaticScene, o: V3, d: V3,
     mid = jnp.zeros_like(o.x)  # material id as float
     pid_best = jnp.full_like(o.x, -1.0)  # primitive id as float
     chans = tuple(jnp.zeros_like(o.x) for _ in range(k))
+    uv_state = (jnp.zeros_like(o.x), jnp.zeros_like(o.x),
+                jnp.full_like(o.x, -1.0)) if with_uv else None
     prim_counter = [0]
 
-    def upd(hit_mask, t, nxx, nyy, nzz, m, state):
-        t_best, nx, ny, nz, mid, pid_best, chans = state
+    def upd(hit_mask, t, nxx, nyy, nzz, m, state, uv_vals=None):
+        t_best, nx, ny, nz, mid, pid_best, chans, uv_state = state
         pid = prim_counter[0]
         prim_counter[0] += 1
         closer = hit_mask & (t < t_best)
         new_chans = tuple(
             jnp.where(closer, float(mat_channels[m][i]), chans[i])
             for i in range(k))
+        if uv_state is not None:
+            if uv_vals is None:
+                uv_vals = (0.0, 0.0, -1.0)
+            uv_state = tuple(jnp.where(closer, v, s)
+                             for v, s in zip(uv_vals, uv_state))
         return (jnp.where(closer, t, t_best), jnp.where(closer, nxx, nx),
                 jnp.where(closer, nyy, ny), jnp.where(closer, nzz, nz),
                 jnp.where(closer, float(m), mid),
-                jnp.where(closer, float(pid), pid_best), new_chans)
+                jnp.where(closer, float(pid), pid_best), new_chans,
+                uv_state)
 
-    state = (t_best, nx, ny, nz, mid, pid_best, chans)
+    state = (t_best, nx, ny, nz, mid, pid_best, chans, uv_state)
 
     for (cx, cy, cz, r, m) in ss.sph:
         ocx, ocy, ocz = o.x - cx, o.y - cy, o.z - cz
@@ -440,7 +463,7 @@ def intersect_scene_unrolled(ss: StaticScene, o: V3, d: V3,
         state = upd(jnp.isfinite(t), t, (px - cx) * inv_r, (py - cy) * inv_r,
                     (pz - cz) * inv_r, m, state)
 
-    for (v1, e1, e2, nrm, m) in ss.tri:
+    for ti, (v1, e1, e2, nrm, m) in enumerate(ss.tri):
         # P = d x e2 (e2 constant -> linear in d; zero terms trace-folded)
         px = _lin3((0.0, e2[2], -e2[1]), d.x, d.y, d.z)
         py = _lin3((-e2[2], 0.0, e2[0]), d.x, d.y, d.z)
@@ -459,8 +482,17 @@ def intersect_scene_unrolled(ss: StaticScene, o: V3, d: V3,
         w = _lin3(e2, qx, qy, qz) / jnp.where(det == 0, 1.0, det)
         ok = ((det >= 1e-6) & (u >= 0) & (u <= det) & (v >= 0)
               & (u + v <= det) & (w >= t_min))
+        uv_vals = None
+        if with_uv and ti < len(ss.tri_uv) and ss.tri_uv[ti][6] >= 0:
+            u1x, u1y, e1x, e1y, e2x, e2y, tex = ss.tri_uv[ti]
+            inv_det = 1.0 / jnp.where(det == 0, 1.0, det)
+            b1 = u * inv_det
+            b2 = v * inv_det
+            uv_vals = (u1x + _dota([(b1, e1x), (b2, e2x)]),
+                       u1y + _dota([(b1, e1y), (b2, e2y)]),
+                       float(tex))
         state = upd(ok, jnp.where(ok, w, inf), nrm[0], nrm[1], nrm[2], m,
-                    state)
+                    state, uv_vals=uv_vals)
 
     for (pos, nrm, inv0, inv1, m) in ss.pln:
         nd = _lin3(nrm, d.x, d.y, d.z)
@@ -477,12 +509,12 @@ def intersect_scene_unrolled(ss: StaticScene, o: V3, d: V3,
         state = upd(ok, jnp.where(ok, t, inf), nrm[0], nrm[1], nrm[2], m,
                     state)
 
-    t_best, nx, ny, nz, mid, pid_best, chans = state
+    t_best, nx, ny, nz, mid, pid_best, chans, uv_state = state
     valid = jnp.isfinite(t_best)
     point = V3(o.x + t_best * d.x, o.y + t_best * d.y, o.z + t_best * d.z)
     return HitUnrolled(t=t_best, valid=valid, point=point,
                        normal=V3(nx, ny, nz), mat_id=mid, prim_id=pid_best,
-                       channels=chans)
+                       channels=chans, uv=uv_state)
 
 
 def intersect_area_lights_unrolled(ss: StaticScene, o: V3, d: V3,

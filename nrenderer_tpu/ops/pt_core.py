@@ -107,7 +107,7 @@ def onb_local(normal: V3, vec: V3) -> V3:
 
 
 def closest_hit(ss: StaticScene, o: V3, d: V3, t_min: float, mat_channels,
-                tri_bvh=None, alive=None):
+                tri_bvh=None, alive=None, with_uv: bool = False):
     """Closest hit: unrolled constant-folded brute force, with the triangle
     pool optionally routed through a flattened BVH walk (`tri_bvh` =
     (FlatBVH, TrianglePack), used by the renderers when the mesh-expanded
@@ -115,7 +115,9 @@ def closest_hit(ss: StaticScene, o: V3, d: V3, t_min: float, mat_channels,
     whole reason to exist, `AccPathTracer.cpp:58-62`)."""
     if tri_bvh is None:
         return intersect_scene_unrolled(ss, o, d, t_min=t_min,
-                                        mat_channels=mat_channels)
+                                        mat_channels=mat_channels,
+                                        with_uv=with_uv)
+    assert not with_uv, "texture UVs not carried through the mesh BVH path"
     from .bvh import (
         BlockedTris, MeshAccel, intersect_triangles_blocked,
         intersect_triangles_bvh,
@@ -247,7 +249,7 @@ def _warn_compaction_overflow(n_hit, cap):
 
 def diffuse_bounce(ss: StaticScene, albedo_ch, o: V3, d: V3, throughput: V3,
                    radiance: V3, alive, u1, u2, t_min: float = 1e-6,
-                   tri_bvh=None, with_miss: bool = False
+                   tri_bvh=None, with_miss: bool = False, textures=None
                    ) -> Tuple[V3, V3, V3, V3, jnp.ndarray]:
     """One bounce of the diffuse estimator; returns updated
     (o, d, throughput, radiance, alive) — plus the miss mask (alive rays
@@ -255,8 +257,12 @@ def diffuse_bounce(ss: StaticScene, albedo_ch, o: V3, d: V3, throughput: V3,
     o/d/throughput are left untouched) when `with_miss`.
 
     `u1, u2`: uniforms in [0,1) shaped like o.x (hemisphere sampling).
-    `alive`: boolean mask of rays still carrying throughput."""
-    hit = closest_hit(ss, o, d, t_min, albedo_ch, tri_bvh, alive=alive)
+    `alive`: boolean mask of rays still carrying throughput.
+    `textures`: tuple of (H, W, 3) arrays — diffuseMap sampling at the
+    hit's interpolated UV (beyond the reference, which plumbs textures
+    into shaders but never reads them — `Shader.hpp:22`)."""
+    hit = closest_hit(ss, o, d, t_min, albedo_ch, tri_bvh, alive=alive,
+                      with_uv=bool(textures))
     t_l, light_rad = intersect_area_lights_unrolled(ss, o, d, t_min=t_min)
 
     obj_first = alive & hit.valid & (hit.t < t_l)
@@ -268,6 +274,10 @@ def diffuse_bounce(ss: StaticScene, albedo_ch, o: V3, d: V3, throughput: V3,
                   radiance.z + lw * throughput.z * light_rad.z)
 
     ax, ay, az = hit.channels
+    if textures:
+        from .texture import resolve_diffuse
+        alb = resolve_diffuse(textures, hit.uv, V3(ax, ay, az))
+        ax, ay, az = alb.x, alb.y, alb.z
     local = hemisphere_from_uv(u1, u2)
     new_d = normalize3(onb_local(hit.normal, local), eps=1e-20)
     cos = dot3(hit.normal, new_d)
@@ -446,15 +456,16 @@ def make_mat_channels(ss: StaticScene):
 
 def bsdf_bounce(ss: StaticScene, mat_ch, o: V3, d: V3, throughput: V3,
                 radiance: V3, alive, u1, u2, u3, t_min: float = 1e-6,
-                tri_bvh=None, with_miss: bool = False
+                tri_bvh=None, with_miss: bool = False, textures=None
                 ) -> Tuple[V3, V3, V3, V3, jnp.ndarray]:
     """One bounce of the AccPathTracer estimator
     (`AccPathTracer.cpp:120-181`): closest hit, light hit, then branchless
     dispatch over material type {0 Lambertian, 1 conductor, 2 glass,
     3 microfacet} (`acc/include/shaders/ShaderCreator.hpp:17-39`).
     `with_miss`: also return the env-candidate miss mask (see
-    diffuse_bounce)."""
-    hit = closest_hit(ss, o, d, t_min, mat_ch, tri_bvh, alive=alive)
+    diffuse_bounce); `textures`: diffuseMap sampling (see diffuse_bounce)."""
+    hit = closest_hit(ss, o, d, t_min, mat_ch, tri_bvh, alive=alive,
+                      with_uv=bool(textures))
     t_l, light_rad = intersect_area_lights_unrolled(ss, o, d, t_min=t_min)
 
     obj_first = alive & hit.valid & (hit.t < t_l)
@@ -468,6 +479,9 @@ def bsdf_bounce(ss: StaticScene, mat_ch, o: V3, d: V3, throughput: V3,
     (mtype, dr, dg, db, ar, ag, ab_, ior, absr, absg, absb,
      err, erg, erb, eir, eig, eib, rough, f0, metal) = hit.channels
     diffuse = V3(dr, dg, db)
+    if textures:
+        from .texture import resolve_diffuse
+        diffuse = resolve_diffuse(textures, hit.uv, diffuse)
     albedo = V3(ar, ag, ab_)
     absorbed = V3(absr, absg, absb)
     eta_r = V3(err, erg, erb)

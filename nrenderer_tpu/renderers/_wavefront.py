@@ -21,12 +21,14 @@ from ..ops.soa import V3, to_array
 def build_wavefront_fn(width: int, height: int, spp: int, chunk: int,
                        has_lens: bool, trace_fn: Callable,
                        linear: bool = False) -> Callable:
-    """Compile the film loop around `trace_fn(o, d, key, env_map, tri_bvh)
-    -> V3 radiance`.
+    """Compile the film loop around `trace_fn(o, d, key, env_map, tri_bvh,
+    textures) -> V3 radiance`.
 
-    Returns `fn(cam, env_map, key, tri_bvh=None)`; with `linear=False` an
-    (H, W, 3) gamma'd image (row 0 = BOTTOM), else the (n_pix, 3) LINEAR
-    film SUM over `spp` samples (chunked/progressive accumulation)."""
+    Returns `fn(cam, env_map, key, tri_bvh=None, textures=None)`; with
+    `linear=False` an (H, W, 3) gamma'd image (row 0 = BOTTOM), else the
+    (n_pix, 3) LINEAR film SUM over `spp` samples (chunked/progressive
+    accumulation).  `textures` (tuple of (H, W, 3) arrays) are traced args,
+    so texture contents never invalidate the compile cache."""
     n_pix = width * height
     n_rays = n_pix * chunk
     n_steps = spp // chunk
@@ -34,7 +36,8 @@ def build_wavefront_fn(width: int, height: int, spp: int, chunk: int,
     ii = np.tile(np.repeat(np.arange(height, dtype=np.float32), width), chunk)
 
     @jax.jit
-    def render(cam: CameraParams, env_map, key, tri_bvh=None):
+    def render(cam: CameraParams, env_map, key, tri_bvh=None,
+               textures=None):
         jjd = jnp.asarray(jj)
         iid = jnp.asarray(ii)
 
@@ -51,7 +54,7 @@ def build_wavefront_fn(width: int, height: int, spp: int, chunk: int,
             else:
                 lens_uv = None
             o, d = shoot_v3(cam, x, y, lens_uv=lens_uv)
-            radiance = trace_fn(o, d, k_path, env_map, tri_bvh)
+            radiance = trace_fn(o, d, k_path, env_map, tri_bvh, textures)
             fx, fy, fz = film
             fx = fx + radiance.x.reshape(chunk, n_pix).sum(axis=0)
             fy = fy + radiance.y.reshape(chunk, n_pix).sum(axis=0)

@@ -50,7 +50,7 @@ BVH_THRESHOLD = 64
 
 def trace_bsdf_wavefront(ss: StaticScene, o: V3, d: V3, key, depth: int,
                          env_map=None, tri_bvh=None,
-                         t_min: float = None) -> V3:
+                         t_min: float = None, textures=None) -> V3:
     """(N,)-ray wavefront with the 4-BSDF dispatch; returns V3 radiance.
     `tri_bvh`: optional (FlatBVH, TrianglePack) routing the triangle pool
     through the stackless BVH walk (mesh-heavy scenes)."""
@@ -77,7 +77,8 @@ def trace_bsdf_wavefront(ss: StaticScene, o: V3, d: V3, key, depth: int,
             # no second intersection pass
             o, d, throughput, radiance, alive, miss = bsdf_bounce(
                 ss, mat_ch, o, d, throughput, radiance, alive, u1, u2, u3,
-                t_min=t_min, tri_bvh=tri_bvh, with_miss=True)
+                t_min=t_min, tri_bvh=tri_bvh, with_miss=True,
+                textures=textures)
             env = sample_env_map_v3(env_map, d)
             ew = miss.astype(o.x.dtype)
             radiance = V3(radiance.x + ew * throughput.x * env.x,
@@ -86,7 +87,7 @@ def trace_bsdf_wavefront(ss: StaticScene, o: V3, d: V3, key, depth: int,
         else:
             o, d, throughput, radiance, alive = bsdf_bounce(
                 ss, mat_ch, o, d, throughput, radiance, alive, u1, u2, u3,
-                t_min=t_min, tri_bvh=tri_bvh)
+                t_min=t_min, tri_bvh=tri_bvh, textures=textures)
         return (o, d, throughput, radiance, alive), None
 
     (o, d, throughput, radiance, alive), _ = jax.lax.scan(
@@ -106,10 +107,11 @@ def build_render_fn(ss: StaticScene, width: int, height: int, spp: int,
     as (n_pix, 3) — used for chunked/progressive accumulation."""
     from ._wavefront import build_wavefront_fn
 
-    def trace(o, d, key, env_map, tri_bvh):
+    def trace(o, d, key, env_map, tri_bvh, textures):
         return trace_bsdf_wavefront(
             ss, o, d, key, depth,
-            env_map=env_map if use_env else None, tri_bvh=tri_bvh)
+            env_map=env_map if use_env else None, tri_bvh=tri_bvh,
+            textures=textures)
 
     return build_wavefront_fn(width, height, spp, chunk, has_lens, trace,
                               linear=linear)
@@ -154,9 +156,18 @@ class AccPathTracerRenderer(RenderComponent):
         # stay on the (faster) unrolled brute force
         n_tri = int(np.asarray(arrays.tri_valid).sum())
         engine = os.environ.get("NR_ENGINE", "auto")
+        # textured faces route through the XLA wavefront (the megakernel and
+        # the mesh-BVH sweep don't carry UVs); reference parity is free —
+        # it never samples textures at all (`Shader.hpp:22`)
+        textures = arrays.textures if ss.tri_uv else None
+        if textures and n_tri > BVH_THRESHOLD:
+            get_server().logger.warning(
+                "AccPathTracer: diffuseMap textures are not carried through "
+                "the mesh-BVH path; rendering untextured")
+            textures = None
         use_pallas = (engine != "xla"
                       and jax.default_backend() not in ("cpu",)
-                      and n_tri <= BVH_THRESHOLD)
+                      and n_tri <= BVH_THRESHOLD and not textures)
         if use_pallas:
             from ..ops.pt_pallas import render_bsdf_pt_pallas
             with timer.phase("render[pallas]"):
@@ -210,7 +221,7 @@ class AccPathTracerRenderer(RenderComponent):
                                  else "render-pass"):
                     film += np.asarray(fn(cam, arrays.env_map,
                                           jax.random.fold_in(key, step),
-                                          tri_bvh))
+                                          tri_bvh, textures))
                 with timer.phase("host-preview"):
                     done = (step + 1) * chunk
                     img = np.sqrt(np.maximum(film / done, 0.0))
@@ -228,7 +239,8 @@ class AccPathTracerRenderer(RenderComponent):
                                use_env, use_bvh, False)
             with timer.phase("render(+compile)"):
                 img = np.asarray(fn(cam, arrays.env_map,
-                                    make_base_key(self.seed), tri_bvh))
+                                    make_base_key(self.seed), tri_bvh,
+                                    textures))
             img = img[::-1]
             GLOBAL_TIMER.add("AccPathTracer.render",
                              timer.get("render(+compile)").total_s)

@@ -32,29 +32,23 @@ from ..server.registry import register_renderer
 @partial(jax.jit, static_argnums=(2, 3))
 def render_raycast(scene_arrays: SceneArrays, cam: CameraParams,
                    width: int, height: int) -> jnp.ndarray:
-    """Returns an (H, W, 3) image, row 0 = BOTTOM (caller flips)."""
+    """Returns an (H, W, 3) image, row 0 = BOTTOM (caller flips).
+
+    Lighting: the reference shades `pointLightBuffer[0]` ONLY
+    (`RayCastRenderer.cpp:70`); the rebuild sums every valid point,
+    directional, and spot light with per-light shadow rays (documented
+    divergence — the reference declares the structs in `Light.hpp:52-67`
+    and the `.scn` grammar parses them, but no shipped renderer reads
+    them).  Identical to the reference on the stock one-point-light
+    scenes."""
     scene = make_scene_soa(scene_arrays)
     jj = jnp.tile(jnp.arange(width, dtype=jnp.float32), (height,))
     ii = jnp.repeat(jnp.arange(height, dtype=jnp.float32), width)
     o, d = shoot_v3(cam, jj / width, ii / height)
 
     hit = intersect_scene(scene, o, d, t_min=T_MIN_RAYCAST)
-
-    lp = scene_arrays.pl_pos[0]
-    light_pos = V3(lp[0], lp[1], lp[2])
-    li = scene_arrays.pl_intensity[0]
-    has_light = scene_arrays.pl_valid[0]
-
-    to_light = V3(light_pos.x - hit.point.x, light_pos.y - hit.point.y,
-                  light_pos.z - hit.point.z)
-    dist = jnp.sqrt(dot3(to_light, to_light))
-    out = V3(to_light.x / dist, to_light.y / dist, to_light.z / dist)
     # ray_cast normalizes normals in its intersections; do it at shading time
     n = normalize3(hit.normal, eps=1e-12)
-    facing = dot3(out, n) > 0
-
-    shadow = intersect_scene(scene, hit.point, out, t_min=T_MIN_RAYCAST)
-    lit = (~shadow.valid) | (shadow.t > dist)
 
     # branchless Phong/Lambert over the material table
     mt = scene.mat
@@ -63,20 +57,75 @@ def render_raycast(scene_arrays: SceneArrays, cam: CameraParams,
     spec_ex = select_mat(hit.mat_oh, mt.specular_ex)
     is_phong = select_mat(hit.mat_oh, (mt.type == 1).astype(jnp.float32))
 
-    cos_on = dot3(out, n)
-    r = reflect3(out, n)
-    vr = dot3(-d, r)
-    # |pow(v.r, ex)| (`Phong.cpp:29-30`); |v.r|^ex avoids the NaN that
-    # C++ pow(negative, fractional) would produce
-    spec_w = jnp.power(jnp.maximum(jnp.abs(vr), 1e-30), spec_ex)
-    color = V3(diffuse_c.x * cos_on + is_phong * specular_c.x * spec_w,
-               diffuse_c.y * cos_on + is_phong * specular_c.y * spec_w,
-               diffuse_c.z * cos_on + is_phong * specular_c.z * spec_w)
-    color = V3(color.x * li[0], color.y * li[1], color.z * li[2])
+    def shade(out, lit_mask, valid, radiance, scale=1.0):
+        """Phong/Lambert response to light arriving along -`out`."""
+        facing = dot3(out, n) > 0
+        cos_on = dot3(out, n)
+        r = reflect3(out, n)
+        vr = dot3(-d, r)
+        # |pow(v.r, ex)| (`Phong.cpp:29-30`); |v.r|^ex avoids the NaN
+        # that C++ pow(negative, fractional) would produce
+        spec_w = jnp.power(jnp.maximum(jnp.abs(vr), 1e-30), spec_ex)
+        w = (hit.valid & facing & lit_mask & valid).astype(
+            jnp.float32) * scale
+        return V3(
+            w * radiance[0] * (diffuse_c.x * cos_on
+                               + is_phong * specular_c.x * spec_w),
+            w * radiance[1] * (diffuse_c.y * cos_on
+                               + is_phong * specular_c.y * spec_w),
+            w * radiance[2] * (diffuse_c.z * cos_on
+                               + is_phong * specular_c.z * spec_w))
 
-    ok = hit.valid & facing & lit & has_light
-    color = where3(ok, color, V3(*(jnp.zeros_like(color.x),) * 3))
-    color = V3(*(jnp.sqrt(jnp.clip(c, 0.0, 1.0)) for c in color))
+    def occluded_within(out, dist):
+        shadow = intersect_scene(scene, hit.point, out, t_min=T_MIN_RAYCAST)
+        return (~shadow.valid) | (shadow.t > dist)
+
+    zero = jnp.zeros_like(hit.point.x)
+    acc = V3(zero, zero, zero)
+
+    for i in range(scene_arrays.pl_valid.shape[0]):
+        lp = scene_arrays.pl_pos[i]
+        to_light = V3(lp[0] - hit.point.x, lp[1] - hit.point.y,
+                      lp[2] - hit.point.z)
+        dist = jnp.sqrt(dot3(to_light, to_light))
+        out = V3(to_light.x / dist, to_light.y / dist, to_light.z / dist)
+        c = shade(out, occluded_within(out, dist),
+                  scene_arrays.pl_valid[i], scene_arrays.pl_intensity[i])
+        acc = V3(acc.x + c.x, acc.y + c.y, acc.z + c.z)
+
+    for i in range(scene_arrays.dl_valid.shape[0]):
+        dd = scene_arrays.dl_dir[i]
+        inv = 1.0 / jnp.sqrt(jnp.maximum(
+            dd[0] ** 2 + dd[1] ** 2 + dd[2] ** 2, 1e-20))
+        out = V3(jnp.broadcast_to(-dd[0] * inv, zero.shape),
+                 jnp.broadcast_to(-dd[1] * inv, zero.shape),
+                 jnp.broadcast_to(-dd[2] * inv, zero.shape))
+        c = shade(out, occluded_within(out, jnp.inf),
+                  scene_arrays.dl_valid[i], scene_arrays.dl_irradiance[i])
+        acc = V3(acc.x + c.x, acc.y + c.y, acc.z + c.z)
+
+    for i in range(scene_arrays.sl_valid.shape[0]):
+        lp = scene_arrays.sl_pos[i]
+        to_light = V3(lp[0] - hit.point.x, lp[1] - hit.point.y,
+                      lp[2] - hit.point.z)
+        dist = jnp.sqrt(dot3(to_light, to_light))
+        out = V3(to_light.x / dist, to_light.y / dist, to_light.z / dist)
+        sd = scene_arrays.sl_dir[i]
+        sinv = 1.0 / jnp.sqrt(jnp.maximum(
+            sd[0] ** 2 + sd[1] ** 2 + sd[2] ** 2, 1e-20))
+        # cone falloff: smooth between hotSpot (full) and fallout (zero),
+        # angles in radians (`Light.hpp:64-65` defaults pi/4, pi/3)
+        cos_theta = -(out.x * sd[0] + out.y * sd[1] + out.z * sd[2]) * sinv
+        cos_hot = jnp.cos(scene_arrays.sl_cone[i][0])
+        cos_fall = jnp.cos(scene_arrays.sl_cone[i][1])
+        cone = jnp.clip((cos_theta - cos_fall)
+                        / jnp.maximum(cos_hot - cos_fall, 1e-6), 0.0, 1.0)
+        c = shade(out, occluded_within(out, dist),
+                  scene_arrays.sl_valid[i], scene_arrays.sl_intensity[i],
+                  scale=cone)
+        acc = V3(acc.x + c.x, acc.y + c.y, acc.z + c.z)
+
+    color = V3(*(jnp.sqrt(jnp.clip(c, 0.0, 1.0)) for c in acc))
     return to_array(color).reshape(height, width, 3)
 
 

@@ -57,7 +57,8 @@ from ..server.registry import get_server, register_renderer
 
 
 def trace_diffuse_wavefront(ss: StaticScene, o: V3, d: V3, key, depth: int,
-                            env_map=None, t_min: float = None) -> V3:
+                            env_map=None, t_min: float = None,
+                            textures=None) -> V3:
     """Trace an (N,)-ray wavefront for `depth` diffuse bounces; returns V3
     radiance.  `env_map` (traced (He,We,3) array) enables env-map misses.
 
@@ -86,7 +87,7 @@ def trace_diffuse_wavefront(ss: StaticScene, o: V3, d: V3, key, depth: int,
             # no second intersection pass
             o, d, throughput, radiance, alive, miss = diffuse_bounce(
                 ss, albedo_ch, o, d, throughput, radiance, alive, u1, u2,
-                t_min=t_min, with_miss=True)
+                t_min=t_min, with_miss=True, textures=textures)
             env = sample_env_map_v3(env_map, d)
             ew = miss.astype(o.x.dtype)
             radiance = V3(radiance.x + ew * throughput.x * env.x,
@@ -95,7 +96,7 @@ def trace_diffuse_wavefront(ss: StaticScene, o: V3, d: V3, key, depth: int,
         else:
             o, d, throughput, radiance, alive = diffuse_bounce(
                 ss, albedo_ch, o, d, throughput, radiance, alive, u1, u2,
-                t_min=t_min)
+                t_min=t_min, textures=textures)
         return (o, d, throughput, radiance, alive), None
 
     (o, d, throughput, radiance, alive), _ = jax.lax.scan(
@@ -114,9 +115,10 @@ def build_render_fn(ss: StaticScene, width: int, height: int, spp: int,
     (row 0 = BOTTOM)."""
     from ._wavefront import build_wavefront_fn
 
-    def trace(o, d, key, env_map, tri_bvh):
+    def trace(o, d, key, env_map, tri_bvh, textures):
         return trace_diffuse_wavefront(
-            ss, o, d, key, depth, env_map=env_map if use_env else None)
+            ss, o, d, key, depth, env_map=env_map if use_env else None,
+            textures=textures)
 
     return build_wavefront_fn(width, height, spp, chunk, has_lens, trace)
 
@@ -281,9 +283,12 @@ class SimplePathTracerRenderer(RenderComponent):
         # in-kernel via the binned gather + exact bounce-0 pass), XLA
         # wavefront elsewhere.
         engine = os.environ.get("NR_ENGINE", "auto")
+        # textured faces need the XLA wavefront (UVs aren't carried
+        # through the megakernel)
+        textures = arrays.textures if ss.tri_uv else None
         if engine == "auto":
             engine = ("pallas" if jax.default_backend() not in ("cpu",)
-                      else "xla")
+                      and not textures else "xla")
         if engine == "pallas":
             from ..ops.pt_pallas import render_simple_pt_pallas
             with timer.phase(f"render[{engine}]"):
@@ -296,7 +301,8 @@ class SimplePathTracerRenderer(RenderComponent):
                                use_env)
             with timer.phase(f"render[{engine}]"):
                 img = np.asarray(fn(cam, arrays.env_map,
-                                    make_base_key(self.seed)))
+                                    make_base_key(self.seed),
+                                    None, textures))
         with timer.phase("host-post"):
             img = img[::-1]  # bottom-up -> row 0 top
             img = np.clip(img, 0.0, 1.0)  # Screen.set clamp (Screen.cpp:63)

@@ -61,6 +61,14 @@ class SceneArrays(NamedTuple):
     tri_normal: jnp.ndarray     # (T, 3)  stored normal (NOT renormalized)
     tri_mat: jnp.ndarray        # (T,) int32
     tri_valid: jnp.ndarray      # (T,) bool
+    # per-triangle texture coordinates (mesh-flattened; zeros + tex=-1 when
+    # the face has no UVs or its material has no diffuseMap).  The reference
+    # imports UVs and plumbs textures into its shaders but never samples
+    # them (`Shader.hpp:22`, SURVEY.md) — the rebuild completes the path.
+    tri_uv1: jnp.ndarray        # (T, 2)  uv at v1
+    tri_uve1: jnp.ndarray       # (T, 2)  uv(v2) - uv(v1)
+    tri_uve2: jnp.ndarray       # (T, 2)  uv(v3) - uv(v1)
+    tri_tex: jnp.ndarray        # (T,) int32 texture id, -1 = none
     # planes (parallelogram patches)
     pln_pos: jnp.ndarray        # (P, 3)
     pln_normal: jnp.ndarray     # (P, 3)
@@ -94,6 +102,9 @@ class SceneArrays(NamedTuple):
     ambient_type: jnp.ndarray   # () int32: 0 constant, 1 env map
     ambient_constant: jnp.ndarray  # (3,)
     env_map: jnp.ndarray        # (He, We, 3) float32; (1,1,3) black if none
+    # scene textures as a static-length tuple of (H, W, 3) float32 arrays
+    # ((1, 1, 3) placeholder for slots with no pixel data)
+    textures: tuple
 
 
 def _vec(x) -> np.ndarray:
@@ -178,7 +189,26 @@ def build_scene_arrays(scene: Scene, dtype=jnp.float32) -> SceneArrays:
 
     sph_pos, sph_rad, sph_mat = [], [], []
     tri_v1, tri_v2, tri_v3, tri_n, tri_mat = [], [], [], [], []
+    tri_uv1, tri_uve1, tri_uve2, tri_tex = [], [], [], []
     pln_pos, pln_n, pln_u, pln_v, pln_mat = [], [], [], [], []
+
+    def _mat_tex(mat_idx: int) -> int:
+        """diffuseMap texture id of material `mat_idx`, -1 if none/unusable."""
+        if not (0 <= mat_idx < len(scene.materials)):
+            return -1
+        dmap = scene.materials[mat_idx].get_property(
+            "diffuseMap", PropertyType.TEXTURE_ID)
+        if dmap is None or not (0 <= int(dmap) < len(scene.textures)):
+            return -1
+        if scene.textures[int(dmap)].pixels is None:
+            return -1
+        return int(dmap)
+
+    def _no_uv(count: int = 1):
+        tri_uv1.extend([np.zeros(2)] * count)
+        tri_uve1.extend([np.zeros(2)] * count)
+        tri_uve2.extend([np.zeros(2)] * count)
+        tri_tex.extend([-1] * count)
 
     for node in scene.nodes:
         if node.type == NodeType.SPHERE:
@@ -194,6 +224,7 @@ def build_scene_arrays(scene: Scene, dtype=jnp.float32) -> SceneArrays:
             tri_n.append(_vec(t.normal) if t.normal is not None
                          else t.computed_normal())
             tri_mat.append(t.material)
+            _no_uv()
         elif node.type == NodeType.PLANE:
             p = scene.plane_buffer[node.entity]
             pln_pos.append(transform_point(p.position, node.model))
@@ -219,6 +250,19 @@ def build_scene_arrays(scene: Scene, dtype=jnp.float32) -> SceneArrays:
             tri_v1.extend(v1); tri_v2.extend(v2); tri_v3.extend(v3)
             tri_n.extend(n)
             tri_mat.extend([mesh.material] * idx.shape[0])
+            tex_id = _mat_tex(mesh.material)
+            uvs = np.asarray(mesh.uvs, np.float64).reshape(-1, 2)
+            uvi = np.asarray(mesh.uv_indices, np.int64).reshape(-1)
+            if (tex_id >= 0 and uvs.shape[0]
+                    and uvi.shape[0] == idx.size):
+                uvi = uvi.reshape(-1, 3)
+                u1 = uvs[uvi[:, 0]]
+                tri_uv1.extend(u1)
+                tri_uve1.extend(uvs[uvi[:, 1]] - u1)
+                tri_uve2.extend(uvs[uvi[:, 2]] - u1)
+                tri_tex.extend([tex_id] * idx.shape[0])
+            else:
+                _no_uv(idx.shape[0])
 
     def rows(lst, width=3):
         if not lst:
@@ -234,6 +278,13 @@ def build_scene_arrays(scene: Scene, dtype=jnp.float32) -> SceneArrays:
     tri_v3_a, _ = _pad_rows(rows(tri_v3))
     tri_n_a, _ = _pad_rows(rows(tri_n))
     tri_mat_a, _ = _pad_rows(np.asarray(tri_mat, np.int32).reshape(-1))
+    tri_uv1_a, _ = _pad_rows(rows(tri_uv1, width=2))
+    tri_uve1_a, _ = _pad_rows(rows(tri_uve1, width=2))
+    tri_uve2_a, _ = _pad_rows(rows(tri_uve2, width=2))
+    tri_tex_a, _ = _pad_rows(np.asarray(tri_tex, np.int32).reshape(-1))
+    if tri_tex_a.shape[0] > len(tri_tex):  # padded rows have no texture
+        tri_tex_a = tri_tex_a.copy()
+        tri_tex_a[len(tri_tex):] = -1
 
     pln_pos_a, pln_valid = _pad_rows(rows(pln_pos))
     pln_n_a, _ = _pad_rows(rows(pln_n))
@@ -291,6 +342,10 @@ def build_scene_arrays(scene: Scene, dtype=jnp.float32) -> SceneArrays:
         env = np.zeros((1, 1, 3))
         amb_type = 0 if amb.type == AmbientType.CONSTANT else 1
 
+    textures = tuple(
+        np.asarray(t.pixels, np.float64)[:, :, :3] if t.pixels is not None
+        else np.zeros((1, 1, 3)) for t in scene.textures)
+
     f = lambda x: jnp.asarray(x, dtype=dtype)
     i32 = lambda x: jnp.asarray(x, dtype=jnp.int32)
     b = lambda x: jnp.asarray(x, dtype=jnp.bool_)
@@ -301,6 +356,8 @@ def build_scene_arrays(scene: Scene, dtype=jnp.float32) -> SceneArrays:
         tri_v1=f(tri_v1_a), tri_e1=f(tri_v2_a - tri_v1_a),
         tri_e2=f(tri_v3_a - tri_v1_a), tri_normal=f(tri_n_a),
         tri_mat=i32(tri_mat_a), tri_valid=b(tri_valid),
+        tri_uv1=f(tri_uv1_a), tri_uve1=f(tri_uve1_a),
+        tri_uve2=f(tri_uve2_a), tri_tex=i32(tri_tex_a),
         pln_pos=f(pln_pos_a), pln_normal=f(pln_n_a), pln_inv=f(pln_inv),
         pln_mat=i32(pln_mat_a), pln_valid=b(pln_valid),
         al_pos=f(al_pos_a), al_u=f(al_u_a), al_v=f(al_v_a),
@@ -313,4 +370,5 @@ def build_scene_arrays(scene: Scene, dtype=jnp.float32) -> SceneArrays:
         mat_type=i32(mat_type), mat_params=f(mat_params),
         ambient_type=i32(amb_type), ambient_constant=f(_vec(amb.constant)),
         env_map=f(env),
+        textures=tuple(f(t) for t in textures),
     )

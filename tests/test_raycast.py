@@ -59,3 +59,61 @@ def test_no_point_light_black(resource_dir):
     mgr.exec("RayCast", scene)
     img = mgr.wait(timeout=300).pixels
     assert img[..., :3].max() == 0.0
+
+
+def _floor_scene():
+    """A single big floor quad at y=0 viewed from above."""
+    from nrenderer_tpu.scene.model import (
+        Material, Plane, Property, PropertyType, Scene,
+    )
+    from nrenderer_tpu.scene.model import Node, NodeType
+
+    s = Scene()
+    m = Material(name="white", type=0)
+    m.register_property(Property("diffuseColor", PropertyType.RGB,
+                                 (0.8, 0.8, 0.8)))
+    s.materials.append(m)
+    s.nodes.append(Node(name="floor", type=NodeType.PLANE,
+                        entity=len(s.plane_buffer)))
+    s.plane_buffer.append(Plane(position=(-50.0, 0.0, -50.0),
+                                u=(100.0, 0.0, 0.0), v=(0.0, 0.0, 100.0),
+                                normal=(0.0, 1.0, 0.0), material=0))
+    s.camera.position = (0.0, 40.0, 0.001)
+    s.camera.look_at = (0.0, 0.0, 0.0)
+    s.render_option.width = s.render_option.height = 24
+    return s
+
+
+def test_directional_light_shading():
+    """Directional lights (declared `Light.hpp:52-57`, shaded by no
+    reference renderer) illuminate uniformly from their direction."""
+    from nrenderer_tpu.scene.model import DirectionalLight
+    from nrenderer_tpu.renderers.raycast import RayCastRenderer
+
+    s = _floor_scene()
+    s.directional_light_buffer.append(DirectionalLight(
+        direction=(0.0, -1.0, 0.0), irradiance=(1.0, 0.5, 0.25)))
+    img = RayCastRenderer().render(s).pixels[..., :3]
+    lit = img[img.sum(axis=2) > 0]
+    assert lit.size > 0
+    # head-on: cos = 1, so color = sqrt(diffuse * irradiance)
+    assert np.allclose(lit[:, 0], np.sqrt(0.8 * 1.0), atol=1e-3)
+    assert np.allclose(lit[:, 1], np.sqrt(0.8 * 0.5), atol=1e-3)
+    assert np.allclose(lit[:, 2], np.sqrt(0.8 * 0.25), atol=1e-3)
+
+
+def test_spot_light_cone():
+    """Spot lights fall off between hotSpot and fallout angles."""
+    from nrenderer_tpu.scene.model import SpotLight
+    from nrenderer_tpu.renderers.raycast import RayCastRenderer
+
+    s = _floor_scene()
+    s.spot_light_buffer.append(SpotLight(
+        position=(0.0, 20.0, 0.0), direction=(0.0, -1.0, 0.0),
+        intensity=(1.0, 1.0, 1.0), hot_spot=0.15, fallout=0.35))
+    img = RayCastRenderer().render(s).pixels[..., :3]
+    h, w = img.shape[:2]
+    center = img[h // 2 - 2:h // 2 + 2, w // 2 - 2:w // 2 + 2].mean()
+    corner = img[:3, :3].mean()
+    assert center > 0.2
+    assert corner < 0.05 * max(center, 1e-6)
