@@ -131,7 +131,15 @@ def vec_cosine(n: V3, g: float, r1, r2) -> V3:
 
 
 class PathBatch(NamedTuple):
-    """SoA batch of paths: (V, C) arrays, row i = vertex i."""
+    """SoA batch of paths: (V, C) arrays, row i = vertex i.
+
+    cr/cg/cb carry the vertex's `getColor` value resolved at TRACE time
+    (hit channel tracking): diffuse color for prim hits, the emitted
+    radiance for light verts (REFQUIRK `Metropolis.hpp:210-212`), zero for
+    camera/unset.  This replaces a per-prim where-chain over every
+    primitive x combo in CombinePaths (the reference's `getColor` switch,
+    `Metropolis.hpp:204-236`) — O(1) instead of O(n_prims) per vertex, so
+    MLT scales to mesh scenes."""
     px: jnp.ndarray
     py: jnp.ndarray
     pz: jnp.ndarray
@@ -139,12 +147,15 @@ class PathBatch(NamedTuple):
     ny: jnp.ndarray
     nz: jnp.ndarray
     pid: jnp.ndarray   # float ids; LIGHT_ID/CAMERA_ID/UNSET_ID or prim id
+    cr: jnp.ndarray    # vertex getColor (see above)
+    cg: jnp.ndarray
+    cb: jnp.ndarray
     count: jnp.ndarray  # (C,) float — number of valid verts
 
 
 def _trace_path(ss: StaticScene, mat_ch, o: V3, d: V3, u: jnp.ndarray,
                 rnd_base: int, v_max: int, depth: int, first_vert,
-                light_normal_raw) -> PathBatch:
+                light_normal_raw, emitted) -> PathBatch:
     """Shared eye/light path tracer (`src/Metropolis.cpp:188-214`): diffuse
     bounces with PSS uniforms; light hits terminate the path.
 
@@ -160,6 +171,10 @@ def _trace_path(ss: StaticScene, mat_ch, o: V3, d: V3, u: jnp.ndarray,
     rows_p = [first_vert[0]]
     rows_n = [first_vert[1]]
     rows_id = [jnp.full((c,), first_vert[2])]
+    # first-vert color: emitted for the light sample, zero for the camera
+    fc = emitted if first_vert[2] == LIGHT_ID else (0.0, 0.0, 0.0)
+    rows_c = [V3(jnp.full((c,), fc[0]), jnp.full((c,), fc[1]),
+                 jnp.full((c,), fc[2]))]
     count = jnp.ones((c,))
     alive = jnp.ones((c,), jnp.bool_)
 
@@ -180,10 +195,17 @@ def _trace_path(ss: StaticScene, mat_ch, o: V3, d: V3, u: jnp.ndarray,
         vert_n = where3(obj_first, n_hit, light_normal_raw)
         vert_id = jnp.where(obj_first, hit.prim_id,
                             jnp.where(light_hit, LIGHT_ID, UNSET_ID))
+        dr, dg, db = hit.channels  # diffuse rgb tracked through the hit
+        vert_c = where3(obj_first, V3(dr, dg, db),
+                        V3(jnp.full((c,), emitted[0]),
+                           jnp.full((c,), emitted[1]),
+                           jnp.full((c,), emitted[2])))
         appended = obj_first | light_hit
-        rows_p.append(where3(appended, vert_p, V3(*(jnp.zeros((c,)),) * 3)))
-        rows_n.append(where3(appended, vert_n, V3(*(jnp.zeros((c,)),) * 3)))
+        zeros3 = V3(*(jnp.zeros((c,)),) * 3)
+        rows_p.append(where3(appended, vert_p, zeros3))
+        rows_n.append(where3(appended, vert_n, zeros3))
         rows_id.append(jnp.where(appended, vert_id, UNSET_ID))
+        rows_c.append(where3(appended, vert_c, zeros3))
         count = count + appended.astype(jnp.float32)
 
         r0 = u[rnd_base + (cur_depth - 1) * 2]
@@ -197,6 +219,7 @@ def _trace_path(ss: StaticScene, mat_ch, o: V3, d: V3, u: jnp.ndarray,
         rows_p.append(V3(*(jnp.zeros((c,)),) * 3))
         rows_n.append(V3(*(jnp.zeros((c,)),) * 3))
         rows_id.append(jnp.full((c,), UNSET_ID))
+        rows_c.append(V3(*(jnp.zeros((c,)),) * 3))
 
     stack = lambda rows, f: jnp.stack([f(r) for r in rows])
     return PathBatch(
@@ -204,7 +227,9 @@ def _trace_path(ss: StaticScene, mat_ch, o: V3, d: V3, u: jnp.ndarray,
         pz=stack(rows_p, lambda r: r.z),
         nx=stack(rows_n, lambda r: r.x), ny=stack(rows_n, lambda r: r.y),
         nz=stack(rows_n, lambda r: r.z),
-        pid=jnp.stack(rows_id), count=count)
+        pid=jnp.stack(rows_id),
+        cr=stack(rows_c, lambda r: r.x), cg=stack(rows_c, lambda r: r.y),
+        cb=stack(rows_c, lambda r: r.z), count=count)
 
 
 class MLTKernel:
@@ -258,7 +283,7 @@ class MLTKernel:
                 jnp.full((c,), self.light_normal[1]),
                 jnp.full((c,), self.light_normal[2]))
         return _trace_path(self.ss, self.mat_ch, o, d, u, 2, self.v_max,
-                           self.max_path, first, ln)
+                           self.max_path, first, ln, self.emitted)
 
     def generate_light_path(self, u: jnp.ndarray) -> PathBatch:
         c = u.shape[1]
@@ -276,99 +301,87 @@ class MLTKernel:
         d = vec_cosine(n, 999.0, r1, r2)
         first = (o, n, LIGHT_ID)
         return _trace_path(self.ss, self.mat_ch, o, d, u, self.nss + 4,
-                           self.v_max, self.max_path, first, n)
+                           self.v_max, self.max_path, first, n,
+                           self.emitted)
 
     # -- per-combo evaluation ------------------------------------------------
 
-    def _gather(self, path: PathBatch, idx: jnp.ndarray) -> PathBatch:
-        take = lambda a: jnp.take(a, idx, axis=0, mode="clip")
-        return PathBatch(px=take(path.px), py=take(path.py),
-                         pz=take(path.pz), nx=take(path.nx),
-                         ny=take(path.ny), nz=take(path.nz),
-                         pid=take(path.pid), count=path.count)
 
     def combine_paths(self, eye: PathBatch, light: PathBatch):
         """All BPT connections (`CombinePaths`, `Metropolis.hpp:544-608`).
-        Returns (px, py, c_rgb, valid) stacked over the combo table and the
-        scalar contribution sc (C,)."""
+        Returns (px, py, c_rgb, valid) stacked over the combo table
+        (ordering identical to `self.combos`) and the scalar contribution
+        sc (C,).
+
+        TPU-native schedule: the reference evaluates the ~227 (L, s)
+        combos serially per thread; a straight `lax.scan` port of that left
+        the chip idle (~230 sequential steps of C-lane work per sample,
+        measured 68 ms/sample at C=4096).  Here the path-length loop L is
+        UNROLLED in Python (static, ~18 values) and all s = 1..L+1 combos
+        of each L are vectorized as a G axis next to the chain axis.  With
+        L and s compile-time constants, every index (combined-path row
+        selection, pdf-prefix lookups) is a STATIC numpy array, so XLA
+        lowers the "gathers" to slices — a traced-index variant measured
+        ~10x SLOWER than the serial scan because TPU dynamic gathers along
+        the major axis serialize."""
         v = self.v_max
         c = eye.px.shape[1]
         cam = self.cam
         w_, h_ = float(self.width), float(self.height)
-        rows = jnp.arange(v, dtype=jnp.int32)
+        rows = np.arange(v)
 
-        mat_color = [tuple(m["diffuse"]) for m in self.ss.mats]
+        n_eye = eye.count
+        n_light = light.count
+        d_cam = normalize3(V3(eye.px[1] - eye.px[0], eye.py[1] - eye.py[0],
+                              eye.pz[1] - eye.pz[0]), eps=1e-20)
 
-        def mat_color_of(pid):
-            """Diffuse color for a prim id (replaces the reference's
-            hard-coded palette, `Metropolis.hpp:204-236`).
+        outs = []
+        sc = jnp.zeros((c,))
+        for L in range(MIN_PATH_LENGTH, self.max_path + 1):
+            s_arr = np.arange(1, L + 2)                         # (G,)
+            t_arr = (L + 1) - s_arr
+            g = len(s_arr)
 
-            REFQUIRK: `getColor` returns the EMITTED radiance for the light
-            vert (id -3, `Metropolis.hpp:210-212`) — so combined paths that
-            pass THROUGH the light vertex scatter with "albedo" ~95, which
-            is precisely what makes the light quad glow in the reference
-            render (direct camera->light paths are below MinPathLength)."""
-            # prim order in intersect_scene_unrolled: spheres, tris, planes
-            mats = ([m for *_, m in self.ss.sph]
-                    + [m for *_, m in self.ss.tri]
-                    + [m for *_, m in self.ss.pln])
-            is_light = pid == LIGHT_ID
-            cr = jnp.where(is_light, self.emitted[0], 0.0)
-            cg = jnp.where(is_light, self.emitted[1], 0.0)
-            cb = jnp.where(is_light, self.emitted[2], 0.0)
-            for i, m in enumerate(mats):
-                sel = pid == float(i)
-                col = mat_color[m]
-                cr = jnp.where(sel, col[0], cr)
-                cg = jnp.where(sel, col[1], cg)
-                cb = jnp.where(sel, col[2], cb)
-            return cr, cg, cb
+            ok0 = ((s_arr[:, None] <= n_eye[None, :])
+                   & (t_arr[:, None] <= n_light[None, :]))
 
-        def combo_body(carry, combo):
-            L, s = combo[0], combo[1]
-            t = (L + 1) - s
-            n_eye = eye.count
-            n_light = light.count
-
-            ok0 = ((s.astype(jnp.float32) <= n_eye)
-                   & (t.astype(jnp.float32) <= n_light) & (t >= 0))
-
-            # combined path rows: eye for i < s, light for i > s-1
-            light_idx = jnp.clip(L - rows, 0, v - 1)
-            lg = self._gather(light, light_idx)
-            use_eye = (rows < s)[:, None]
+            # combined path rows: eye for i < s, light for i > s-1; the
+            # light path is reversed (row i <- light[L - i]) — all static
+            light_ridx = np.clip(L - rows, 0, v - 1)            # (V,)
+            use_eye = (rows[:, None] < s_arr[None, :])[:, :, None]
+            mk = lambda e, l: jnp.where(use_eye, e[:, None, :],
+                                        l[light_ridx][:, None, :])
             cp = PathBatch(
-                px=jnp.where(use_eye, eye.px, lg.px),
-                py=jnp.where(use_eye, eye.py, lg.py),
-                pz=jnp.where(use_eye, eye.pz, lg.pz),
-                nx=jnp.where(use_eye, eye.nx, lg.nx),
-                ny=jnp.where(use_eye, eye.ny, lg.ny),
-                nz=jnp.where(use_eye, eye.nz, lg.nz),
-                pid=jnp.where(use_eye, eye.pid, lg.pid),
+                px=mk(eye.px, light.px), py=mk(eye.py, light.py),
+                pz=mk(eye.pz, light.pz), nx=mk(eye.nx, light.nx),
+                ny=mk(eye.ny, light.ny), nz=mk(eye.nz, light.nz),
+                pid=mk(eye.pid, light.pid), cr=mk(eye.cr, light.cr),
+                cg=mk(eye.cg, light.cg), cb=mk(eye.cb, light.cb),
                 count=n_eye)
 
             # ---- visibility / pixel location (`isConnectable`) ----
-            eye_end = self._gather(eye, jnp.clip(s - 1, 0, v - 1))
-            light_end = self._gather(light, jnp.clip(t - 1, 0, v - 1))
-            e_p = V3(eye_end.px, eye_end.py, eye_end.pz)
-            l_p = V3(light_end.px, light_end.py, light_end.pz)
-            origin = where3(s == 1,
-                            V3(jnp.full((c,), cam.pos[0]),
-                               jnp.full((c,), cam.pos[1]),
-                               jnp.full((c,), cam.pos[2])), e_p)
+            e_idx = s_arr - 1                                   # (G,)
+            l_idx = np.clip(t_arr - 1, 0, v - 1)
+            e_p = V3(eye.px[e_idx], eye.py[e_idx], eye.pz[e_idx])
+            l_p = V3(light.px[l_idx], light.py[l_idx], light.pz[l_idx])
+            s1 = (s_arr == 1)[:, None]
+            origin = where3(s1, V3(jnp.full((g, c), cam.pos[0]),
+                                   jnp.full((g, c), cam.pos[1]),
+                                   jnp.full((g, c), cam.pos[2])), e_p)
             conn = V3(l_p.x - origin.x, l_p.y - origin.y, l_p.z - origin.z)
             conn_d = normalize3(conn, eps=1e-20)
             shadow = intersect_scene_unrolled(self.ss, origin, conn_d,
                                               t_min=T_MIN)
             # REFQUIRK: id equality — a t=1 connection targets the light
             # sample vert (id -3) and always fails
-            vis = jnp.where(t == 0, eye_end.pid == LIGHT_ID,
-                            shadow.valid & (shadow.prim_id == light_end.pid))
+            vis = jnp.where((t_arr == 0)[:, None],
+                            eye.pid[e_idx] == LIGHT_ID,
+                            shadow.valid
+                            & (shadow.prim_id == light.pid[l_idx]))
 
-            eye1 = self._gather(eye, jnp.ones((), jnp.int32))
-            d_cam = normalize3(V3(eye1.px - eye.px[0], eye1.py - eye.py[0],
-                                  eye1.pz - eye.pz[0]), eps=1e-20)
-            direction = where3(s == 1, conn_d, d_cam)
+            direction = where3(s1, conn_d,
+                               V3(d_cam.x[None, :], d_cam.y[None, :],
+                                  d_cam.z[None, :]))
             # pixel projection
             ddw = (direction.x * -cam.w[0] + direction.y * -cam.w[1]
                    + direction.z * -cam.w[2])
@@ -383,15 +396,13 @@ class MLTKernel:
             vis = vis & (px >= 0) & (px < w_) & (py >= 0) & (py < h_)
 
             # ---- shared edge quantities over the combined path ----
-            dvx = cp.px[1:] - cp.px[:-1]     # (V-1, C): edge i -> i+1
+            dvx = cp.px[1:] - cp.px[:-1]     # (V-1, G, C): edge i -> i+1
             dvy = cp.py[1:] - cp.py[:-1]
             dvz = cp.pz[1:] - cp.pz[:-1]
             d2 = dvx * dvx + dvy * dvy + dvz * dvz
             d2s = jnp.where(d2 < 1e-20, 1e-20, d2)
             inv_len = jax.lax.rsqrt(d2s)
             dup = d2 == 0.0                  # duplicate-point guard rows
-
-            lf = L.astype(jnp.float32)
 
             # ---- PathThroughput (`Metropolis.hpp:239-293`) ----
             # i = 0 (camera term)
@@ -408,23 +419,25 @@ class MLTKernel:
             # GeometryTerm is cos^2 at the SAME vertex / d2 (a quirk kept):
             # |dot(n_i, dv_i)|^2 / d2^2 with dv unnormalized.
             cos_i = (cp.nx[:-1] * dvx + cp.ny[:-1] * dvy
-                     + cp.nz[:-1] * dvz)              # (V-1, C), edge i
-            g = (cos_i * cos_i) / (d2s * d2s)
-            cr_all, cg_all, cb_all = mat_color_of(cp.pid)
+                     + cp.nz[:-1] * dvz)            # (V-1, G, C), edge i
+            geo = (cos_i * cos_i) / (d2s * d2s)
+            cr_all, cg_all, cb_all = cp.cr, cp.cg, cp.cb
             # rows 1..V-2 of the edge arrays = vertices 1..V-2
             v_mid = rows[1:v - 1]
-            g_mid = g[1:v - 1]
+            g_mid = geo[1:v - 1]
             ok_mid = (jnp.isfinite(g_mid) & (g_mid > 1e-30)  # ~isnormal
-                      & (v_mid[:, None].astype(jnp.float32) < lf))
-            m_r = jnp.where(ok_mid, cr_all[1:v - 1] * (1.0 / PI) * g_mid, 1.0)
-            m_g = jnp.where(ok_mid, cg_all[1:v - 1] * (1.0 / PI) * g_mid, 1.0)
-            m_b = jnp.where(ok_mid, cb_all[1:v - 1] * (1.0 / PI) * g_mid, 1.0)
+                      & (v_mid < L)[:, None, None])
+            m_r = jnp.where(ok_mid, cr_all[1:v - 1] * (1.0 / PI) * g_mid,
+                            1.0)
+            m_g = jnp.where(ok_mid, cg_all[1:v - 1] * (1.0 / PI) * g_mid,
+                            1.0)
+            m_b = jnp.where(ok_mid, cb_all[1:v - 1] * (1.0 / PI) * g_mid,
+                            1.0)
             f_r = f0 * jnp.prod(m_r, axis=0)
             f_g = f0 * jnp.prod(m_g, axis=0)
             f_b = f0 * jnp.prod(m_b, axis=0)
             # last vertex term: emitted/pi if it is the light, else 0
-            last = self._gather_cp(cp, jnp.clip(L, 0, v - 1))
-            is_light_end = last.pid == LIGHT_ID
+            is_light_end = cp.pid[L] == LIGHT_ID
             f_r = f_r * jnp.where(is_light_end, self.emitted[0] / PI, 0.0)
             f_g = f_g * jnp.where(is_light_end, self.emitted[1] / PI, 0.0)
             f_b = f_b * jnp.where(is_light_end, self.emitted[2] / PI, 0.0)
@@ -436,9 +449,7 @@ class MLTKernel:
             d2a_fwd = jnp.abs(cp.nx[1:] * dvx + cp.ny[1:] * dvy
                               + cp.nz[1:] * dvz) * inv_len / d2s
             # ^ |dot(n_{i+1}, dv)| / (d2 * sqrt(d2)) for edge i->i+1
-            cos0p = cos0  # same direction as throughput camera term
-            ds2p = ds2
-            eye_t0 = ((1.0 / (w_ * h_)) / (cos0p / ds2p)) * d2a_fwd[0]
+            eye_t0 = ((1.0 / (w_ * h_)) / (cos0 / ds2)) * d2a_fwd[0]
             # Lambertian pdf at vertex i for outgoing edge i->i+1:
             # |dot(dir_{i->i+1}, n_i)| / pi
             pdf_fwd = (jnp.abs(cp.nx[:-1] * dvx + cp.ny[:-1] * dvy
@@ -448,56 +459,49 @@ class MLTKernel:
                                          pdf_fwd[1:] * d2a_fwd[1:])])
             # eye_terms[i] multiplies when NumEye >= i+2
             eye_prefix = jnp.concatenate(
-                [jnp.ones((1, c)), jnp.cumprod(eye_terms, axis=0)])
+                [jnp.ones((1, g, c)), jnp.cumprod(eye_terms, axis=0)])
             # eye_prefix[k-1] = product for NumEyeVertices = k (k >= 1)
 
             # light-side terms (from the far end):
             #   lt0 = 1/lightArea
-            #   lt1 = LambertianPDF(n_L, n_L, dir L->L-1) * D2A(x_L->x_{L-1})
+            #   lt1 = LambertianPDF(n_L, n_L, dir L->L-1) * D2A(x_L->x_L-1)
             #   lt[i] = pdf at (L-i) for edge (L-i)->(L-i-1), i = 1..
             # reversed edges: edge j (j->j+1) reversed serves (j+1)->j
             d2a_bwd = jnp.abs(cp.nx[:-1] * dvx + cp.ny[:-1] * dvy
                               + cp.nz[:-1] * dvz) * inv_len / d2s
             pdf_bwd = (jnp.abs(cp.nx[1:] * dvx + cp.ny[1:] * dvy
                                + cp.nz[1:] * dvz) * inv_len) / PI
-            # gather per-L rows: light term for i=0 uses edge (L-1)->L
-            eL = jnp.clip(L - 1, 0, v - 2)
+            # gather per-L rows (L static -> static indices):
+            # light term for i=0 uses edge (L-1)->L
+            eL = int(np.clip(L - 1, 0, v - 2))
             # LambertianPDF(n_L, n_L, D0): |dot(D0, n_L)|/pi with D0 the
             # direction L -> L-1 == -edge(L-1..L); n_L may be the RAW cross
             # (REFQUIRK: unnormalized light normal scales this pdf)
-            lt1 = (jnp.take(pdf_bwd, eL, axis=0, mode="clip") *
-                   jnp.take(d2a_bwd, eL, axis=0, mode="clip"))
+            lt1 = pdf_bwd[eL] * d2a_bwd[eL]
             # interior light terms i >= 1: pdf at vertex (L-i) for edge
             # (L-i)->(L-i-1): reversed pdf/d2a at edge index (L-i-1)
-            idx_i = jnp.clip(L - rows - 1, 0, v - 2)          # (V,)
-            pdfb_i = jnp.take(pdf_bwd, idx_i, axis=0, mode="clip")
-            d2ab_i = jnp.take(d2a_bwd, idx_i, axis=0, mode="clip")
-            dup_i = (jnp.take(dup, idx_i, axis=0, mode="clip")
-                     | jnp.take(dup, jnp.clip(L - rows, 0, v - 2), axis=0,
-                                mode="clip"))
-            lt_i = jnp.where(dup_i, 1.0, pdfb_i * d2ab_i)      # row i>=1
+            idx_i = np.clip(L - rows - 1, 0, v - 2)             # (V,)
+            lt_i = jnp.where(dup[idx_i] | dup[np.clip(L - rows, 0, v - 2)],
+                             1.0, pdf_bwd[idx_i] * d2a_bwd[idx_i])
             light_terms = jnp.concatenate(
-                [jnp.full((1, c), 1.0 / self.light_area), lt1[None],
+                [jnp.full((1, g, c), 1.0 / self.light_area), lt1[None],
                  lt_i[1:v - 1]])
             light_prefix = jnp.concatenate(
-                [jnp.ones((1, c)), jnp.cumprod(light_terms, axis=0)])
+                [jnp.ones((1, g, c)), jnp.cumprod(light_terms, axis=0)])
             # light_prefix[m] = product for NumLightVertices = m
 
             # p(s') = eye_prefix[s'-1] * light_prefix[L+1-s'], s' = 1..L+1
             sprime = rows + 1                                   # (V,)
             tprime = (L + 1) - sprime
             valid_split = (tprime >= 0) & (sprime <= L + 1)
-            p_eye_all = jnp.take(eye_prefix, jnp.clip(sprime - 1, 0, v), axis=0,
-                                 mode="clip")
-            p_light_all = jnp.take(light_prefix, jnp.clip(tprime, 0, v), axis=0,
-                                   mode="clip")
-            p_split = jnp.where(valid_split[:, None],
+            p_eye_all = eye_prefix[np.clip(sprime - 1, 0, v - 1)]
+            p_light_all = light_prefix[np.clip(tprime, 0, v)]
+            p_split = jnp.where(valid_split[:, None, None],
                                 p_eye_all * p_light_all, 0.0)
             p_all = jnp.sum(p_split, axis=0)
-            p_st = (jnp.take(eye_prefix, jnp.clip(s - 1, 0, v), axis=0,
-                              mode="clip")
-                    * jnp.take(light_prefix, jnp.clip(t, 0, v), axis=0,
-                               mode="clip"))
+            gi = np.arange(g)
+            p_st = (eye_prefix[np.clip(s_arr - 1, 0, v - 1), gi]
+                    * light_prefix[np.clip(t_arr, 0, v), gi])
 
             w_mis = jnp.where((p_st > 0) & (p_all > 0),
                               jnp.clip(p_st / p_all, 0.0, 1.0), 0.0)
@@ -512,19 +516,13 @@ class MLTKernel:
             cr = jnp.where(valid, cr, 0.0)
             cg = jnp.where(valid, cg, 0.0)
             cb = jnp.where(valid, cb, 0.0)
-            sc_carry = jnp.maximum(carry, jnp.where(valid, cmax, 0.0))
-            return sc_carry, (px, py, cr, cg, cb, valid)
+            sc = jnp.maximum(sc, jnp.max(jnp.where(valid, cmax, 0.0),
+                                         axis=0))
+            outs.append((px, py, cr, cg, cb, valid))
 
-        sc0 = jnp.zeros((c,))
-        sc, contribs = jax.lax.scan(combo_body, sc0,
-                                    jnp.asarray(self.combos))
+        contribs = tuple(jnp.concatenate([o[i] for o in outs], axis=0)
+                         for i in range(6))
         return contribs, sc
-
-    def _gather_cp(self, cp: PathBatch, idx) -> PathBatch:
-        take = lambda a: jnp.take(a, idx, axis=0, mode="clip")
-        return PathBatch(px=take(cp.px), py=take(cp.py), pz=take(cp.pz),
-                         nx=take(cp.nx), ny=take(cp.ny), nz=take(cp.nz),
-                         pid=take(cp.pid), count=cp.count)
 
     # -- full sample: PSS vector -> contributions ---------------------------
 
@@ -794,7 +792,10 @@ def _finish_mlt(estimate_b, init_chains, run_block, flush_film, key, width,
     with timer.phase("film-flush"):
         film = np.asarray(flush_film(carry)).reshape(height, width, 3)
     total_mut = n_blocks * block
-    dt = timer.get("mutate-blocks").total_s
+    # run_block dispatches are async; the film flush forces them, so the
+    # honest steady mutation rate is (dispatch + flush) wall time
+    dt = (timer.get("mutate-blocks").total_s
+          + timer.get("film-flush").total_s)
     GLOBAL_TIMER.add("MLT.mutate", dt)
     get_server().logger.log(
         f"phases: {timer.summary()} "

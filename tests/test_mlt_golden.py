@@ -1,0 +1,66 @@
+"""MLT golden-image regression vs the reference's published render.
+
+`/root/reference/results/MLT.png` is a UI screenshot of the reference's
+500x500 / depth-20 / 16.8M-mutation MLT run (19573 s); the render panel is
+the fixed crop below.  Comparison is alignment-tolerant (downsample both
+to a small grid, like tests/test_golden.py) and BRIGHTNESS-NORMALIZED:
+the reference image is ~3.5x darker in linear radiance than an unbiased
+path-trace of its own scene, while our MLT lands within 14% of that
+ground truth — see docs/architecture.md divergence #9 for the full
+analysis.  Structure (wall colors, caustic cube glow, light quad) must
+correlate; absolute exposure must match only after mean-scaling.
+
+TPU reference-scale verification (500x500, 4096x1024 mutations): tone
+mean 0.489 vs 0.497 at 96x96 (resolution-independent), recorded in
+BENCH.md.
+"""
+import numpy as np
+import pytest
+
+from nrenderer_tpu import load_scn
+from nrenderer_tpu.io.image import read_png
+
+MLT_SCREENSHOT = "/root/reference/results/MLT.png"
+RENDER_CROP = (slice(85, 585), slice(65, 562))  # the Result panel's image
+
+
+def _down(a, size=32):
+    from PIL import Image
+    im = Image.fromarray((np.clip(a, 0, 1) * 255).astype(np.uint8))
+    return np.asarray(im.resize((size, size), Image.BILINEAR),
+                      np.float32) / 255.0
+
+
+@pytest.fixture(scope="module")
+def images():
+    from nrenderer_tpu.renderers.mlt import render_mlt
+    ref = read_png(MLT_SCREENSHOT)[RENDER_CROP]
+    scene = load_scn("/root/reference/resource/Metropolis.scn")
+    scene.render_option.width = 64
+    scene.render_option.height = 64
+    scene.render_option.depth = 12
+    img = render_mlt(scene, chains=384, mutations=64, n_init=3072,
+                     seed=0)[..., :3]
+    return _down(img), _down(ref)
+
+
+def test_mlt_structure_matches_reference(images):
+    ours, ref = images
+    corr = np.corrcoef(ours.reshape(-1), ref.reshape(-1))[0, 1]
+    assert corr > 0.7, corr  # 0.85 measured at 96x96/512x96; CPU budget
+
+
+def test_mlt_normalized_rmse(images):
+    ours, ref = images
+    # exposure-normalize (deliberate brightness divergence, docs #9)
+    scaled = ours * (ref.mean() / max(ours.mean(), 1e-6))
+    rmse = float(np.sqrt(((scaled - ref) ** 2).mean()))
+    assert rmse < 0.16, rmse  # ~0.10 measured at CI budget
+
+
+def test_mlt_brightness_tracks_unbiased_pt(images):
+    """Our MLT's tone-mapped brightness tracks the unbiased PT ground
+    truth of this scene — 0.47 at the converged TPU budget (the reference
+    image sits at 0.30; docs #9).  Band is wide for the CI chain budget."""
+    ours, _ = images
+    assert 0.35 < ours.mean() < 0.62, ours.mean()
