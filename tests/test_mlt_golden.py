@@ -36,9 +36,11 @@ def images():
     from nrenderer_tpu.renderers.mlt import render_mlt
     ref = read_png(MLT_SCREENSHOT)[RENDER_CROP]
     scene = load_scn("/root/reference/resource/Metropolis.scn")
+    # depth 8 keeps the unrolled combo compile CPU-affordable (measured:
+    # corr 0.82, normalized RMSE 0.085, mean 0.46 at this budget)
     scene.render_option.width = 64
     scene.render_option.height = 64
-    scene.render_option.depth = 12
+    scene.render_option.depth = 8
     img = render_mlt(scene, chains=384, mutations=64, n_init=3072,
                      seed=0)[..., :3]
     return _down(img), _down(ref)
