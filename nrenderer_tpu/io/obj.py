@@ -63,7 +63,11 @@ def _parse_mtl(scene: Scene, path: str, mtl_map: Dict[str, int]) -> None:
             key = parts[0].lower()
             if key == "newmtl":
                 name = parts[1] if len(parts) > 1 else ""
-                current = Material(name=name, type=1)  # Phong
+                # Lambertian until a nonzero Ks appears: type 1 means
+                # Phong to RayCast but CONDUCTOR to the acc plugin
+                # (`acc/ShaderCreator.hpp:25-27`), so a diffuse-only MTL
+                # tagged Phong would render black in the path tracers
+                current = Material(name=name, type=0)
                 mtl_map[name] = len(scene.materials)
                 scene.materials.append(current)
             elif current is None:
@@ -73,9 +77,11 @@ def _parse_mtl(scene: Scene, path: str, mtl_map: Dict[str, int]) -> None:
                     "diffuseColor", PropertyType.RGB,
                     (float(parts[1]), float(parts[2]), float(parts[3]))))
             elif key == "ks" and len(parts) >= 4:
+                ks = (float(parts[1]), float(parts[2]), float(parts[3]))
                 current.register_property(Property(
-                    "specularColor", PropertyType.RGB,
-                    (float(parts[1]), float(parts[2]), float(parts[3]))))
+                    "specularColor", PropertyType.RGB, ks))
+                if any(v > 0.0 for v in ks):
+                    current.type = 1  # Phong
             elif key == "ns" and len(parts) >= 2:
                 current.register_property(Property(
                     "specularEx", PropertyType.FLOAT, float(parts[1])))

@@ -295,6 +295,16 @@ class BlockedTris(NamedTuple):
     channels: jnp.ndarray  # (K, n_blocks, B)
     bb_min: jnp.ndarray    # (n_blocks, 3)
     bb_max: jnp.ndarray    # (n_blocks, 3)
+    # per-triangle texture coords (None when the scene has no textured
+    # faces): uv at v1, uv edges, texture id — the sweep interpolates the
+    # winner's UV from its barycentrics (`with_uv`)
+    uv1x: jnp.ndarray = None
+    uv1y: jnp.ndarray = None
+    ue1x: jnp.ndarray = None
+    ue1y: jnp.ndarray = None
+    ue2x: jnp.ndarray = None
+    ue2y: jnp.ndarray = None
+    tex: jnp.ndarray = None
 
     @property
     def block(self) -> int:
@@ -344,6 +354,18 @@ def pack_blocked_triangles(scene_arrays, mat_channels,
     mx = np.maximum(np.maximum(v1, v2p), v3p)[order_p].reshape(
         n_blocks, block, 3).max(axis=1)
 
+    uv_kw = {}
+    tex_col = np.asarray(getattr(a, "tri_tex", np.full(v1.shape[0], -1)),
+                         np.float32)
+    if (tex_col[valid] >= 0).any():
+        uv1 = np.asarray(a.tri_uv1, np.float32)
+        ue1 = np.asarray(a.tri_uve1, np.float32)
+        ue2 = np.asarray(a.tri_uve2, np.float32)
+        uv_kw = dict(uv1x=blk(uv1[:, 0]), uv1y=blk(uv1[:, 1]),
+                     ue1x=blk(ue1[:, 0]), ue1y=blk(ue1[:, 1]),
+                     ue2x=blk(ue2[:, 0]), ue2y=blk(ue2[:, 1]),
+                     tex=blk(tex_col))
+
     return BlockedTris(
         v1x=blk(v1[:, 0]), v1y=blk(v1[:, 1]), v1z=blk(v1[:, 2]),
         e1x=blk(e1[:, 0]), e1y=blk(e1[:, 1]), e1z=blk(e1[:, 2]),
@@ -352,7 +374,7 @@ def pack_blocked_triangles(scene_arrays, mat_channels,
         mat=blk(mat.astype(np.float32)),
         pid=jnp.asarray(pid.astype(np.float32).reshape(n_blocks, block)),
         channels=jnp.asarray(channels.reshape(-1, n_blocks, block)),
-        bb_min=jnp.asarray(mn), bb_max=jnp.asarray(mx))
+        bb_min=jnp.asarray(mn), bb_max=jnp.asarray(mx), **uv_kw)
 
 
 class MeshAccel(NamedTuple):
@@ -370,20 +392,25 @@ def build_mesh_accel(scene_arrays, mat_channels, block: int = 128
                      tp=pack_triangles(scene_arrays, mat_channels))
 
 
-def intersect_triangles_blocked(bt: BlockedTris, o, d, t_min: float = 1e-6):
+def intersect_triangles_blocked(bt: BlockedTris, o, d, t_min: float = 1e-6,
+                                with_uv: bool = False):
     """Closest triangle hit via the blocked sweep.  Returns
-    (t, nx, ny, nz, mat_id, prim_id, channels tuple); t=+inf on miss."""
+    (t, nx, ny, nz, mat_id, prim_id, channels tuple); t=+inf on miss.
+    With `with_uv` (requires bt.tex) an extra (uvx, uvy, tex) triple is
+    appended — the winner's texture coords interpolated from its
+    barycentrics during the sweep."""
     import jax
 
     n = o.x.shape[0]
     inf = jnp.float32(jnp.inf)
     k = bt.channels.shape[0]
     b = bt.block
+    with_uv = with_uv and bt.tex is not None
 
     def body(carry, xs):
         (v1x, v1y, v1z, e1x, e1y, e1z, e2x, e2y, e2z, nx, ny, nz, mat, pid,
-         chans) = xs
-        t_best, bnx, bny, bnz, bmat, bpid, bch = carry
+         chans, uvs) = xs
+        t_best, bnx, bny, bnz, bmat, bpid, bch, buv = carry
         for i in range(b):
             px = d.y * e2z[i] - d.z * e2y[i]
             py = d.z * e2x[i] - d.x * e2z[i]
@@ -411,16 +438,32 @@ def intersect_triangles_blocked(bt: BlockedTris, o, d, t_min: float = 1e-6):
             bmat = jnp.where(ok, mat[i], bmat)
             bpid = jnp.where(ok, pid[i], bpid)
             bch = tuple(jnp.where(ok, chans[j, i], bch[j]) for j in range(k))
-        return (t_best, bnx, bny, bnz, bmat, bpid, bch), None
+            if with_uv:
+                uv1x, uv1y, ue1x, ue1y, ue2x, ue2y, tex = uvs
+                inv_det = 1.0 / jnp.where(det == 0, 1.0, det)
+                b1 = u * inv_det
+                b2 = vv * inv_det
+                buv = (jnp.where(ok, uv1x[i] + b1 * ue1x[i] + b2 * ue2x[i],
+                                 buv[0]),
+                       jnp.where(ok, uv1y[i] + b1 * ue1y[i] + b2 * ue2y[i],
+                                 buv[1]),
+                       jnp.where(ok, tex[i], buv[2]))
+        return (t_best, bnx, bny, bnz, bmat, bpid, bch, buv), None
 
     zeros = jnp.zeros((n,))
     carry0 = (jnp.full((n,), inf), zeros, zeros, zeros, zeros,
-              jnp.full((n,), -1.0), tuple(zeros for _ in range(k)))
+              jnp.full((n,), -1.0), tuple(zeros for _ in range(k)),
+              (zeros, zeros, jnp.full((n,), -1.0)))
+    uv_xs = ((bt.uv1x, bt.uv1y, bt.ue1x, bt.ue1y, bt.ue2x, bt.ue2y, bt.tex)
+             if with_uv else
+             tuple(jnp.zeros((bt.v1x.shape[0], 0)) for _ in range(7)))
     xs = (bt.v1x, bt.v1y, bt.v1z, bt.e1x, bt.e1y, bt.e1z, bt.e2x, bt.e2y,
           bt.e2z, bt.nx, bt.ny, bt.nz, bt.mat, bt.pid,
-          jnp.moveaxis(bt.channels, 1, 0))
-    (t_best, bnx, bny, bnz, bmat, bpid, bch), _ = jax.lax.scan(body, carry0,
-                                                               xs)
+          jnp.moveaxis(bt.channels, 1, 0), uv_xs)
+    (t_best, bnx, bny, bnz, bmat, bpid, bch, buv), _ = jax.lax.scan(
+        body, carry0, xs)
+    if with_uv:
+        return t_best, bnx, bny, bnz, bmat, bpid, bch, buv
     return t_best, bnx, bny, bnz, bmat, bpid, bch
 
 

@@ -117,23 +117,30 @@ def closest_hit(ss: StaticScene, o: V3, d: V3, t_min: float, mat_channels,
         return intersect_scene_unrolled(ss, o, d, t_min=t_min,
                                         mat_channels=mat_channels,
                                         with_uv=with_uv)
-    assert not with_uv, "texture UVs not carried through the mesh BVH path"
     from .bvh import (
         BlockedTris, MeshAccel, intersect_triangles_blocked,
         intersect_triangles_bvh,
     )
-    ss_nt = ss._replace(tri=[])
+    ss_nt = ss._replace(tri=[], tri_uv=())
     hit = intersect_scene_unrolled(ss_nt, o, d, t_min=t_min,
-                                   mat_channels=mat_channels)
+                                   mat_channels=mat_channels,
+                                   with_uv=with_uv)
+    uvb = None
     if isinstance(tri_bvh, MeshAccel):
         # Pallas sweep engine: VMEM-resident carry, in-kernel block culling
+        assert not with_uv, "UVs not carried through the Pallas mesh sweep"
         from .mesh_pallas import intersect_triangles_mesh
         tb, nxb, nyb, nzb, matb, pidb, chb = intersect_triangles_mesh(
             tri_bvh, o, d, t_min, hit.t, mat_channels, alive=alive)
     elif isinstance(tri_bvh, BlockedTris):
-        tb, nxb, nyb, nzb, matb, pidb, chb = _blocked_compacted(
-            tri_bvh, o, d, t_min, hit.t)
+        out = _blocked_compacted(tri_bvh, o, d, t_min, hit.t,
+                                 with_uv=with_uv)
+        if with_uv:
+            tb, nxb, nyb, nzb, matb, pidb, chb, uvb = out
+        else:
+            tb, nxb, nyb, nzb, matb, pidb, chb = out
     else:
+        assert not with_uv, "UVs not carried through the BVH cursor walk"
         bvh, tp = tri_bvh
         tb, nxb, nyb, nzb, matb, pidb, chb = intersect_triangles_bvh(
             bvh, tp, o, d, t_min=t_min)
@@ -145,17 +152,27 @@ def closest_hit(ss: StaticScene, o: V3, d: V3, t_min: float, mat_channels,
     chans = tuple(jnp.where(closer, cb, ch)
                   for cb, ch in zip(chb, hit.channels))
     point = V3(o.x + t * d.x, o.y + t * d.y, o.z + t * d.z)
+    uv = hit.uv
+    if with_uv:
+        if uvb is None:
+            uvb = (jnp.zeros_like(t), jnp.zeros_like(t),
+                   jnp.full_like(t, -1.0))
+        base = hit.uv if hit.uv is not None else (
+            jnp.zeros_like(t), jnp.zeros_like(t), jnp.full_like(t, -1.0))
+        uv = tuple(jnp.where(closer, ub, hb)
+                   for ub, hb in zip(uvb, base))
     return hit._replace(t=t, valid=jnp.isfinite(t), point=point,
                         normal=normal,
                         mat_id=jnp.where(closer, matb, hit.mat_id),
                         prim_id=jnp.where(closer, pidb, hit.prim_id),
-                        channels=chans)
+                        channels=chans, uv=uv)
 
 
 COMPACT_FRACTION = 4  # mesh-ray buffer capacity = N / this
 
 
-def _blocked_compacted(bt, o: V3, d: V3, t_min: float, t_dense):
+def _blocked_compacted(bt, o: V3, d: V3, t_min: float, t_dense,
+                       with_uv: bool = False):
     """Mesh-level ray compaction + blocked triangle sweep.
 
     In a lockstep wavefront, rays that never approach the mesh would still
@@ -196,10 +213,20 @@ def _blocked_compacted(bt, o: V3, d: V3, t_min: float, t_dense):
     t_far = jnp.minimum(jnp.minimum(nx1, ny1), nz1)
     m = (t_near <= t_far) & (t_far >= t_min) & (t_near < t_dense)
 
+    def unpack(out_flat, k):
+        """flat tuple -> (t, nx, ny, nz, mat, pid, chans[, uv])"""
+        head = out_flat[:6]
+        if with_uv:
+            return head + (tuple(out_flat[6:6 + k]),
+                           tuple(out_flat[6 + k:]))
+        return head + (tuple(out_flat[6:]),)
+
     if cap >= n:  # compaction can't help; sweep everything directly
-        return intersect_triangles_blocked(bt, o, d, t_min=t_min)
+        return intersect_triangles_blocked(bt, o, d, t_min=t_min,
+                                           with_uv=with_uv)
 
     n_hit = jnp.sum(m.astype(jnp.int32))
+    k_ch = bt.channels.shape[0]
 
     def compacted(_):
         (idx,) = jnp.nonzero(m, size=cap, fill_value=n)
@@ -207,8 +234,13 @@ def _blocked_compacted(bt, o: V3, d: V3, t_min: float, t_dense):
         take = lambda a: jnp.take(a, gidx, mode="clip")
         oc = V3(take(o.x), take(o.y), take(o.z))
         dc = V3(take(d.x), take(d.y), take(d.z))
-        tc, nxc, nyc, nzc, matc, pidc, chc = intersect_triangles_blocked(
-            bt, oc, dc, t_min=t_min)
+        out = intersect_triangles_blocked(bt, oc, dc, t_min=t_min,
+                                          with_uv=with_uv)
+        if with_uv:
+            tc, nxc, nyc, nzc, matc, pidc, chc, uvc = out
+        else:
+            tc, nxc, nyc, nzc, matc, pidc, chc = out
+            uvc = ()
 
         inf = jnp.float32(jnp.inf)
         # nonzero output is sorted and unique — these hints let XLA vectorize
@@ -222,17 +254,26 @@ def _blocked_compacted(bt, o: V3, d: V3, t_min: float, t_dense):
         matb = scat(jnp.zeros((n,)), matc)
         pidb = scat(jnp.full((n,), -1.0), pidc)
         chb = tuple(scat(jnp.zeros((n,)), c) for c in chc)
-        return (tb, nxb, nyb, nzb, matb, pidb) + chb
+        uvb = ()
+        if with_uv:
+            uvb = (scat(jnp.zeros((n,)), uvc[0]),
+                   scat(jnp.zeros((n,)), uvc[1]),
+                   scat(jnp.full((n,), -1.0), uvc[2]))
+        return (tb, nxb, nyb, nzb, matb, pidb) + chb + uvb
 
     def full_sweep(_):
         jax.debug.callback(_warn_compaction_overflow, n_hit, cap,
                            ordered=False)
-        tb, nxb, nyb, nzb, matb, pidb, chb = intersect_triangles_blocked(
-            bt, o, d, t_min=t_min)
+        out = intersect_triangles_blocked(bt, o, d, t_min=t_min,
+                                          with_uv=with_uv)
+        if with_uv:
+            tb, nxb, nyb, nzb, matb, pidb, chb, uvb = out
+            return (tb, nxb, nyb, nzb, matb, pidb) + chb + uvb
+        tb, nxb, nyb, nzb, matb, pidb, chb = out
         return (tb, nxb, nyb, nzb, matb, pidb) + chb
 
     out = jax.lax.cond(n_hit > cap, full_sweep, compacted, operand=None)
-    return out[0], out[1], out[2], out[3], out[4], out[5], tuple(out[6:])
+    return unpack(out, k_ch)
 
 
 def _warn_compaction_overflow(n_hit, cap):

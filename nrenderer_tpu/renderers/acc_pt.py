@@ -156,15 +156,10 @@ class AccPathTracerRenderer(RenderComponent):
         # stay on the (faster) unrolled brute force
         n_tri = int(np.asarray(arrays.tri_valid).sum())
         engine = os.environ.get("NR_ENGINE", "auto")
-        # textured faces route through the XLA wavefront (the megakernel and
-        # the mesh-BVH sweep don't carry UVs); reference parity is free —
-        # it never samples textures at all (`Shader.hpp:22`)
+        # textured faces route through the XLA wavefront (the megakernel
+        # doesn't carry UVs; the BlockedTris sweep does); reference parity
+        # is free — it never samples textures at all (`Shader.hpp:22`)
         textures = arrays.textures if ss.tri_uv else None
-        if textures and n_tri > BVH_THRESHOLD:
-            get_server().logger.warning(
-                "AccPathTracer: diffuseMap textures are not carried through "
-                "the mesh-BVH path; rendering untextured")
-            textures = None
         use_pallas = (engine != "xla"
                       and jax.default_backend() not in ("cpu",)
                       and n_tri <= BVH_THRESHOLD and not textures)
@@ -193,6 +188,10 @@ class AccPathTracerRenderer(RenderComponent):
             # sweep (ops/bvh.py).  The per-ray BVH cursor walk is ~400x
             # slower on a vector unit; it remains available for comparison.
             mesh_engine = os.environ.get("NR_MESH_ENGINE", "pallas")
+            if textures and mesh_engine == "pallas":
+                # the Pallas mesh sweep doesn't carry UVs; the blocked
+                # lax.scan sweep interpolates them during the sweep
+                mesh_engine = "xla"
             with timer.phase("bvh-build"):
                 if mesh_engine == "pallas":
                     from ..ops.bvh import build_mesh_accel

@@ -111,3 +111,50 @@ def test_textured_obj_render(tmp_path):
     right = img[8:24, 18:28]
     assert left[..., 0].mean() > 2.0 * left[..., 1].mean()
     assert right[..., 1].mean() > 2.0 * right[..., 0].mean()
+
+
+def test_textured_mesh_bvh_path(tmp_path):
+    """Textures survive the BlockedTris mesh sweep (>BVH_THRESHOLD tris):
+    an 8x8-subdivided quad (128 faces) renders left-red / right-green
+    through AccPathTracer's BVH path."""
+    from nrenderer_tpu.renderers.acc_pt import AccPathTracerRenderer
+    from nrenderer_tpu.scene.model import AreaLight
+
+    _texture_png(tmp_path / "tex.png")
+    (tmp_path / "grid.mtl").write_text(
+        "newmtl gridmat\nKd 1 1 1\nmap_Kd tex.png\n")
+    n = 8
+    verts, uvs, faces = [], [], []
+    for j in range(n + 1):
+        for i in range(n + 1):
+            verts.append((i / n * 2 - 1, j / n * 2 - 1, 0.0))
+            uvs.append((i / n, j / n))
+    for j in range(n):
+        for i in range(n):
+            a = j * (n + 1) + i + 1      # OBJ 1-based
+            b, c_, d_ = a + 1, a + n + 2, a + n + 1
+            faces.append((a, b, c_))
+            faces.append((a, c_, d_))
+    lines = ["mtllib grid.mtl"]
+    lines += [f"v {x} {y} {z}" for x, y, z in verts]
+    lines += [f"vt {u} {v}" for u, v in uvs]
+    lines.append("usemtl gridmat")
+    lines += [f"f {a}/{a} {b}/{b} {c}/{c}" for a, b, c in faces]
+    (tmp_path / "grid.obj").write_text("\n".join(lines) + "\n")
+
+    scene = load_obj(str(tmp_path / "grid.obj"))
+    scene.materials[0].type = 0  # Lambertian (MTL imports as Phong)
+    scene.area_light_buffer.append(AreaLight(
+        position=(-2.0, 2.5, 2.0), u=(4.0, 0.0, 0.0), v=(0.0, 0.0, 2.0),
+        radiance=(6.0, 6.0, 6.0)))
+    scene.camera.position = (0.0, 0.0, 4.0)
+    scene.camera.look_at = (0.0, 0.0, 0.0)
+    ro = scene.render_option
+    ro.width = ro.height = 32
+    ro.samples_per_pixel = 32
+    ro.depth = 3
+    img = AccPathTracerRenderer(seed=0).render(scene).pixels[..., :3]
+    left = img[8:24, 4:14]
+    right = img[8:24, 18:28]
+    assert left[..., 0].mean() > 2.0 * left[..., 1].mean()
+    assert right[..., 1].mean() > 2.0 * right[..., 0].mean()
