@@ -170,7 +170,13 @@ def main() -> int:
     text = "\n".join(lines) + "\n"
     print(text)
     if backend != "cpu" and not quick:
-        pathlib.Path("BENCH.md").write_text(text)
+        # keep the hand-measured reference-scale section across regens
+        marker = "Reference-scale workloads"
+        prev = ""
+        p = pathlib.Path("BENCH.md")
+        if p.exists() and marker in p.read_text():
+            prev = "\n" + p.read_text()[p.read_text().index(marker):]
+        p.write_text(text.rstrip() + "\n" + prev)
     return 0
 
 
