@@ -159,14 +159,23 @@ def _render_multichip(args, scene) -> int:
         from .parallel.mesh import render_multichip_acc
         tri_bvh = None
         n_tri = int(np.asarray(arrays.tri_valid).sum())
+        # mirror the single-device routing (ADVICE r2): textured meshes need
+        # the BlockedTris sweep (it interpolates UVs); untextured meshes get
+        # the MeshAccel fast path
+        textures = arrays.textures if ss.tri_uv else None
         if n_tri > 64:
-            from .ops.bvh import build_mesh_accel
-            tri_bvh = build_mesh_accel(arrays, make_mat_channels(ss))
+            if textures:
+                from .ops.bvh import pack_blocked_triangles
+                tri_bvh = pack_blocked_triangles(arrays,
+                                                 make_mat_channels(ss))
+            else:
+                from .ops.bvh import build_mesh_accel
+                tri_bvh = build_mesh_accel(arrays, make_mat_channels(ss))
         env_map = arrays.env_map if ss.ambient_type == 1 else None
         img = np.asarray(render_multichip_acc(
             ss, cam, args.width, args.height, args.spp, args.depth,
             mesh=mesh, seed=args.seed, tri_bvh=tri_bvh,
-            env_map=env_map))[::-1]
+            env_map=env_map, textures=textures))[::-1]
     else:
         from .parallel.mesh import render_multichip
         img = np.asarray(render_multichip(

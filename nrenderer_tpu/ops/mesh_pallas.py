@@ -201,6 +201,13 @@ def sweep_mesh_full(bt: BlockedTris, o: V3, d: V3, t_min: float,
         t_cap = jnp.full((n,), inf)
     if n_valid is None:
         n_valid = jnp.int32(n)
+    else:
+        # The kernel's n_valid check skips whole SUB_M*128 tiles; rays in a
+        # partially-valid tile must be masked per-ray too, or hits past an
+        # unaligned n_valid leak out (ADVICE r2).  t_cap=0 makes a ray
+        # unsatisfiable (no w with t_min <= w < 0).
+        t_cap = jnp.where(jnp.arange(n) < jnp.asarray(n_valid, jnp.int32),
+                         t_cap, 0.0)
 
     def prep(a, fill=0.0):
         a = a.astype(jnp.float32)

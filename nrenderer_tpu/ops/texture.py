@@ -22,8 +22,14 @@ def sample_texture(tex: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray) -> V3:
     """Nearest-neighbor lookup with wrap; OBJ convention (v=0 is the BOTTOM
     row of the image, which loaders store last).  tex: (H, W, 3)."""
     h, w = tex.shape[0], tex.shape[1]
-    x = jnp.floor(u * w).astype(jnp.int32) % w
-    y = jnp.floor((1.0 - v) * h).astype(jnp.int32) % h
+    # Keep % for genuine out-of-[0,1] tiling, but CLAMP the boundary texel:
+    # u=1.0 / v=0.0 must land on the last column / bottom row, not wrap to
+    # the opposite edge (ADVICE r2: floor((1-0.0)*h) % h hit row 0, the TOP,
+    # for v=0 exactly — same clamp-after-flip recipe as sample_env_map).
+    u = jnp.where((u < 0.0) | (u > 1.0), u - jnp.floor(u), u)
+    v = jnp.where((v < 0.0) | (v > 1.0), v - jnp.floor(v), v)
+    x = jnp.clip(jnp.floor(u * w).astype(jnp.int32), 0, w - 1)
+    y = jnp.clip(jnp.floor((1.0 - v) * h).astype(jnp.int32), 0, h - 1)
     idx = y * w + x
     flat = tex.reshape(-1, 3)
     return V3(jnp.take(flat[:, 0], idx, mode="clip"),

@@ -60,10 +60,16 @@ def render_mlt_sharded(scene: Scene, chains: int = 4096,
     key = make_base_key(seed)
     block = min(mutations, int(os.environ.get("NR_MLT_BLOCK", "128")))
 
+    # Mesh identity (axis names + device ids) must be in the key: the mesh is
+    # baked into the compiled shard_map closures, so a later call with the
+    # same n_dev but a different device subset/axis would otherwise get
+    # functions compiled against the old mesh (ADVICE r2).
+    mesh_fp = (mesh.axis_names, tuple(d.id for d in mesh.devices.flat),
+               tuple(d.platform for d in mesh.devices.flat))
     cache_key = hashlib.sha1(repr(
         (kern.ss, kern.cam, width, height, kern.max_path, kern.emitted,
          kern.light_pos, kern.light_u, kern.light_v, chains, n_init, block,
-         n_dev)).encode()).hexdigest()
+         n_dev, mesh_fp)).encode()).hexdigest()
     cached = _SHARDED_MLT_CACHE.get(cache_key)
     if cached is not None:
         return _finish_mlt(*cached, key, width, height, chains, mutations,

@@ -52,6 +52,21 @@ def pytest_configure(config):
               [sys.executable, "-m", "pytest"] + sys.argv[1:], env)
 
 
+def pytest_addoption(parser):
+    parser.addoption("--runslow", action="store_true", default=False,
+                     help="run tests marked slow (MLT statistics/golden "
+                          "renders; adds ~30-60 min of compiles)")
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow"):
+        return
+    skip_slow = pytest.mark.skip(reason="slow: pass --runslow to run")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip_slow)
+
+
 @pytest.fixture(scope="session")
 def resource_dir() -> pathlib.Path:
     return RESOURCE_DIR

@@ -35,16 +35,25 @@ def test_sharded_render_runs(setup):
     assert img.max() > 0
 
 
-def test_sharded_matches_single_device_stats(setup):
-    """8-device sample-parallel render must agree with a 1-device render of
-    the same total spp within MC noise (the psum is just a sum of
-    independent estimators)."""
+def test_sharded_matches_single_device_exact(setup):
+    """The sharded estimator is a plain psum of per-device linear films, so
+    the 8-device render at total spp=64 must equal — per pixel, up to float
+    rounding — the combination of eight 1-device renders at spp=8 with the
+    same seeds (device i's stream is fold_in(base, seeds[i]) either way).
+    VERDICT r2 #6: this catches any mis-scaled psum; a mean-tolerance test
+    does not."""
     ss, cam = setup
     img8 = np.asarray(render_multichip(ss, cam, 24, 24, 64, 4,
                                        mesh=make_mesh(8), seed=0))
-    img1 = np.asarray(render_multichip(ss, cam, 24, 24, 64, 4,
-                                       mesh=make_mesh(1), seed=100))
-    assert abs(img8.mean() - img1.mean()) < 0.05
+    # undo each 1-device run's own gamma + spp normalization to recover its
+    # linear film sum, combine, and re-apply the 8-device normalization
+    film = np.zeros((24, 24, 3), np.float64)
+    for i in range(8):
+        img1 = np.asarray(render_multichip(ss, cam, 24, 24, 8, 4,
+                                           mesh=make_mesh(1), seed=i))
+        film += img1.astype(np.float64) ** 2 * 8.0
+    expect = np.sqrt(film / 64.0)
+    np.testing.assert_allclose(img8, expect, rtol=1e-5, atol=1e-6)
 
 
 def test_mesh_sizes(setup):
