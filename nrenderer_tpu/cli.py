@@ -176,6 +176,19 @@ def _render_multichip(args, scene) -> int:
             ss, cam, args.width, args.height, args.spp, args.depth,
             mesh=mesh, seed=args.seed, tri_bvh=tri_bvh,
             env_map=env_map, textures=textures))[::-1]
+    elif args.shard == "pixels":
+        import jax.numpy as jnp
+        from .parallel.mesh import build_sharded_render_pixels
+        if args.height % args.devices:
+            print(f"error: --shard pixels needs height divisible by "
+                  f"--devices ({args.height} % {args.devices} != 0)",
+                  file=sys.stderr)
+            return 2
+        fn = build_sharded_render_pixels(ss, args.width, args.height,
+                                         args.spp, args.depth, mesh)
+        seeds = jnp.arange(args.seed, args.seed + args.devices,
+                           dtype=jnp.int32)
+        img = np.asarray(fn(cam, seeds))[::-1]
     else:
         from .parallel.mesh import render_multichip
         img = np.asarray(render_multichip(
@@ -232,6 +245,11 @@ def main(argv=None) -> int:
                     help="shard over N devices: sample budget for "
                          "SimplePathTracer/AccPathTracer, Markov chains "
                          "for MetropolisLightTransport")
+    pr.add_argument("--shard", choices=("samples", "pixels"),
+                    default="samples",
+                    help="multi-device decomposition: 'samples' (spp "
+                         "sharded, one psum) or 'pixels' (disjoint film "
+                         "bands, no collective; SimplePathTracer only)")
     pr.add_argument("--chains", type=int,
                     help="MLT: parallel Markov chains (default 1024)")
     pr.add_argument("--mutations", type=int,

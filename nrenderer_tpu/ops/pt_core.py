@@ -126,7 +126,30 @@ def closest_hit(ss: StaticScene, o: V3, d: V3, t_min: float, mat_channels,
                                    mat_channels=mat_channels,
                                    with_uv=with_uv)
     uvb = None
-    if isinstance(tri_bvh, MeshAccel):
+    if callable(tri_bvh):
+        # in-megakernel Pallas sweep closure (pt_pallas folds the blocked
+        # sweep into its bounce loop): (o, d, t_cap) -> winner tuple with
+        # t_best staying at the cap on miss; channels reconstructed from
+        # the winner's material id by a select chain (tiny static table).
+        # With `with_uv` the closure also returns the winner's (uvx, uvy,
+        # tex) interpolated during the sweep (mesh_pallas.sweep_tile).
+        from .mesh_pallas import _channels_from_mat
+        t_cap = hit.t
+        if alive is not None:
+            t_cap = jnp.where(alive, t_cap, jnp.zeros_like(t_cap))
+        out = tri_bvh(o, d, t_cap)
+        if with_uv:
+            tb, idxb, nxb, nyb, nzb, matb, uvxb, uvyb, texb = out
+        else:
+            tb, idxb, nxb, nyb, nzb, matb = out
+        missb = idxb < 0
+        tb = jnp.where(missb, jnp.full_like(tb, jnp.inf), tb)
+        chb = _channels_from_mat(matb, missb, mat_channels)
+        pidb = jnp.where(missb, -1.0, idxb)
+        matb = jnp.where(missb, 0.0, matb)
+        if with_uv:
+            uvb = (uvxb, uvyb, jnp.where(missb, -1.0, texb))
+    elif isinstance(tri_bvh, MeshAccel):
         # Pallas sweep engine: VMEM-resident carry, in-kernel block culling
         assert not with_uv, "UVs not carried through the Pallas mesh sweep"
         from .mesh_pallas import intersect_triangles_mesh
@@ -316,8 +339,11 @@ def diffuse_bounce(ss: StaticScene, albedo_ch, o: V3, d: V3, throughput: V3,
 
     ax, ay, az = hit.channels
     if textures:
-        from .texture import resolve_diffuse
-        alb = resolve_diffuse(textures, hit.uv, V3(ax, ay, az))
+        if callable(textures):  # in-kernel binned resolver (pt_pallas)
+            alb = textures(hit.uv, V3(ax, ay, az))
+        else:
+            from .texture import resolve_diffuse
+            alb = resolve_diffuse(textures, hit.uv, V3(ax, ay, az))
         ax, ay, az = alb.x, alb.y, alb.z
     local = hemisphere_from_uv(u1, u2)
     new_d = normalize3(onb_local(hit.normal, local), eps=1e-20)
@@ -477,6 +503,41 @@ def microfacet_scatter(d: V3, normal: V3, albedo: V3, roughness, f0,
     return l, att
 
 
+def plastic_scatter(d: V3, normal: V3, diffuse: V3, specular: V3, ior,
+                    u1, u2, u3):
+    """Plastic (type 4): Fresnel-weighted diffuse + mirror-specular blend.
+
+    The reference SHIPS a Plastic template (`MaterialTemplates.hpp:62-65`:
+    diffuseColor, specularColor, refractIndex) but no reference renderer
+    implements type 4, so these semantics are this rebuild's definition
+    (documented divergence, VERDICT r2 #9): a dielectric coat with
+    F0 = ((ior-1)/(ior+1))^2 Schlick Fresnel picks the mirror lobe with
+    probability F (weight = specularColor) and the cosine-free uniform
+    hemisphere diffuse lobe otherwise (weight = 2 cos * diffuseColor, the
+    same estimator as the Lambertian lobe).  The stochastic selection's
+    weight/probability cancellation makes the expectation
+    F * specular * mirror + (1-F) * diffuse_estimator.  `specular` arrives
+    through the albedo channel slots (see scene/arrays.py `_pack_material`).
+    Returns (L, weight V3)."""
+    n = normalize3(normal, eps=1e-20)
+    cos_i = jnp.abs(dot3(d, n))
+    n12 = (ior - 1.0) / (ior + 1.0)
+    f0 = n12 * n12
+    f = f0 + (1.0 - f0) * (1.0 - cos_i) ** 5
+
+    d_spec = normalize3(reflect3_(d, n), eps=1e-20)
+    local = hemisphere_from_uv(u1, u2)
+    d_diff = normalize3(onb_local(n, local), eps=1e-20)
+    cos_d = dot3(n, d_diff)
+
+    choose_spec = u3 < f
+    l = where3(choose_spec, d_spec, d_diff)
+    w = where3(choose_spec, specular,
+               V3(diffuse.x * 2.0 * cos_d, diffuse.y * 2.0 * cos_d,
+                  diffuse.z * 2.0 * cos_d))
+    return l, w
+
+
 def make_mat_channels(ss: StaticScene):
     """Per-material constant tuples for the unrolled channel tracker:
     (type, diffuse rgb, albedo rgb, ior, absorbed rgb, eta_r rgb, eta_i rgb,
@@ -521,8 +582,11 @@ def bsdf_bounce(ss: StaticScene, mat_ch, o: V3, d: V3, throughput: V3,
      err, erg, erb, eir, eig, eib, rough, f0, metal) = hit.channels
     diffuse = V3(dr, dg, db)
     if textures:
-        from .texture import resolve_diffuse
-        diffuse = resolve_diffuse(textures, hit.uv, diffuse)
+        if callable(textures):  # in-kernel binned resolver (pt_pallas)
+            diffuse = textures(hit.uv, diffuse)
+        else:
+            from .texture import resolve_diffuse
+            diffuse = resolve_diffuse(textures, hit.uv, diffuse)
     albedo = V3(ar, ag, ab_)
     absorbed = V3(absr, absg, absb)
     eta_r = V3(err, erg, erb)
@@ -546,10 +610,15 @@ def bsdf_bounce(ss: StaticScene, mat_ch, o: V3, d: V3, throughput: V3,
     if 2 in present:
         d_glass, w_glass = glass_scatter(d, hit.normal, ior, absorbed, u3)
         lobes.append((2, d_glass, w_glass))
-    if 3 in present or not present.issubset({0, 1, 2, 3}):
+    if 3 in present or not present.issubset({0, 1, 2, 3, 4}):
         d_micro, w_micro = microfacet_scatter(d, hit.normal, albedo, rough,
                                               f0, metal, u1, u2)
         lobes.append((3, d_micro, w_micro))
+    if 4 in present:
+        # Plastic: specularColor rides the albedo channels (arrays.py)
+        d_pl, w_pl = plastic_scatter(d, hit.normal, diffuse, albedo, ior,
+                                     u1, u2, u3)
+        lobes.append((4, d_pl, w_pl))
 
     new_d, w = lobes[0][1], lobes[0][2]
     for i, (type_id, ld, lw) in enumerate(lobes[1:], start=1):

@@ -92,10 +92,38 @@ def _env_gather(tab_ref, row, col, rows: int):
     return g
 
 
+def _make_tex_resolver(tex_refs, n_tex: int, rows: int):
+    """Binned surface-texture resolver for the kernel: same select-chain
+    gather as `_env_gather`, same wrap/clamp convention as
+    `texture.sample_texture` (v=0 = image bottom; boundary clamps).  Each
+    texture is pre-binned to (rows, 128) texel means — exact when the
+    source is already that size, a prefiltered minification otherwise
+    (VERDICT r2 #4: textured scenes stay on the fast engines)."""
+    from .soa import V3, where3
+
+    def resolve(uv, diffuse):
+        tu, tv, tid = uv
+        u = jnp.where((tu < 0.0) | (tu > 1.0), tu - jnp.floor(tu), tu)
+        v = jnp.where((tv < 0.0) | (tv > 1.0), tv - jnp.floor(tv), tv)
+        col = jnp.clip((u * LANES).astype(jnp.int32), 0, LANES - 1)
+        row = jnp.clip(((1.0 - v) * rows).astype(jnp.int32), 0, rows - 1)
+        out = diffuse
+        for i in range(n_tex):
+            er = _env_gather(tex_refs[3 * i + 0], row, col, rows)
+            eg = _env_gather(tex_refs[3 * i + 1], row, col, rows)
+            eb = _env_gather(tex_refs[3 * i + 2], row, col, rows)
+            out = where3((tid > i - 0.5) & (tid < i + 0.5),
+                         V3(er, eg, eb), out)
+        return out
+
+    return resolve
+
+
 def _pt_kernel(seed_ref, *refs, ss: StaticScene,
                cam: Tuple[float, ...], width: int, height: int, spp: int,
                depth: int, t_min: float, bsdf: bool = False,
-               env_rows: int = 0):
+               env_rows: int = 0, mesh: Tuple[int, int] = None,
+               n_tex: int = 0, mesh_uv: bool = False):
     """`bsdf=False`: SimplePathTracer (diffuse-only).  `bsdf=True`:
     AccPathTracer's 4-lobe dispatch (pt_core.bsdf_bounce) — same kernel
     skeleton, one extra uniform per bounce.
@@ -106,12 +134,48 @@ def _pt_kernel(seed_ref, *refs, ss: StaticScene,
     lookup per sample happens after the loop (`_env_gather`).  Bounce-0
     misses are excluded — the driver adds them exactly at full env
     resolution outside the kernel (`_env_primary_linear`), since primary
-    rays are recomputable from the same counter-based hash RNG."""
+    rays are recomputable from the same counter-based hash RNG.
+
+    `mesh = (n_blocks, b)`: the BVH-preorder blocked triangle sweep
+    (`mesh_pallas.sweep_tile`) runs INSIDE the bounce loop against
+    VMEM-resident triangle tables — camera, bounce, sweep and film never
+    leave VMEM for mesh scenes (VERDICT r2 #2; replaces the round-2 hybrid
+    that re-entered XLA per bounce).  Per-bounce block culling: each
+    block's AABB is slab-tested against the live tile and skipped via
+    `lax.cond` when no ray can beat its current best — the per-tile skip
+    that the reference's recursive descent (`BVH.hpp:93-155`) does per
+    ray."""
+    refs = list(refs)
+    seed = seed_ref[0]
+    if mesh is not None:
+        bbmin_ref = refs.pop(0)
+        bbmax_ref = refs.pop(0)
+        tri_refs = tuple(refs[:14])
+        del refs[:14]
+        uv_refs = None
+        if mesh_uv:
+            uv_refs = tuple(refs[:7])
+            del refs[:7]
+        from .mesh_pallas import sweep_tile
+        n_blocks, mesh_b = mesh
+
+        def kernel_sweep(o, d, t_cap):
+            return sweep_tile(bbmin_ref, bbmax_ref, tri_refs, o, d, t_cap,
+                              n_blocks=n_blocks, b=mesh_b, t_min=t_min,
+                              uv_refs=uv_refs)
+        tri_bvh = kernel_sweep
+    else:
+        tri_bvh = None
+    if n_tex:
+        tex_refs = tuple(refs[:3 * n_tex])
+        del refs[:3 * n_tex]
+        textures = _make_tex_resolver(tex_refs, n_tex, TEX_ROWS)
+    else:
+        textures = None
     if env_rows:
         envr_ref, envg_ref, envb_ref, film_r, film_g, film_b = refs
     else:
         film_r, film_g, film_b = refs
-    seed = seed_ref[0]
 
     (px0, py0, pz0, llx, lly, llz, hx, hy, hz, vx, vy, vz,
      ux, uy, uz, cvx, cvy, cvz, lens_r) = cam
@@ -186,11 +250,13 @@ def _pt_kernel(seed_ref, *refs, ss: StaticScene,
                 u3 = hash_uniform(pid, sp, 6, bseed)
                 out = bsdf_bounce(
                     ss, mat_ch, o, d, thr, rad, alive_f > 0.5, u1, u2, u3,
-                    t_min=t_min, with_miss=wm)
+                    t_min=t_min, with_miss=wm, tri_bvh=tri_bvh,
+                    textures=textures)
             else:
                 out = diffuse_bounce(
                     ss, albedo_ch, o, d, thr, rad, alive_f > 0.5, u1, u2,
-                    t_min=t_min, with_miss=wm)
+                    t_min=t_min, with_miss=wm, tri_bvh=tri_bvh,
+                    textures=textures)
             if env_rows:
                 o, d, thr, rad, alive, miss = out
                 # bounce-0 misses handled exactly by the driver
@@ -237,24 +303,40 @@ def _pt_kernel(seed_ref, *refs, ss: StaticScene,
 def _build_pallas_pt(ss: StaticScene, cam: Tuple[float, ...], width: int,
                      height: int, spp: int, depth: int, t_min: float,
                      bsdf: bool = False, linear: bool = False,
-                     env_rows: int = 0):
+                     env_rows: int = 0, mesh: Tuple[int, int] = None,
+                     n_tex: int = 0, mesh_uv: bool = False):
+    """`mesh = (n_blocks, b)`: the returned `run` takes the 16 blocked
+    triangle arrays (bb_min, bb_max, 14 tables) right after `seed` (+7 UV
+    tables when `mesh_uv`) — they ride to every grid program as
+    VMEM-resident unblocked refs.  `n_tex`: that many binned
+    (TEX_ROWS, 128) x 3 surface-texture tables follow the mesh arrays."""
     n_pix = width * height
     tile = SUB * LANES
     n_tiles = pl.cdiv(n_pix, tile)
 
     kernel = functools.partial(_pt_kernel, ss=ss, cam=cam, width=width,
                                height=height, spp=spp, depth=depth,
-                               t_min=t_min, bsdf=bsdf, env_rows=env_rows)
+                               t_min=t_min, bsdf=bsdf, env_rows=env_rows,
+                               mesh=mesh, n_tex=n_tex, mesh_uv=mesh_uv)
     film_shape = jax.ShapeDtypeStruct((n_tiles, SUB, LANES), jnp.float32)
     block = pl.BlockSpec((1, SUB, LANES), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
+    if mesh is not None:
+        # block AABBs as SMEM scalars (slab tests read them scalarly);
+        # triangle tables VMEM-resident across all grid steps
+        in_specs += [pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
+        in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 14
+        if mesh_uv:
+            in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 7
+    if n_tex:
+        in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * (3 * n_tex)
     if env_rows:
         # bin tables are tiny ((rows, 128) x 3) and replicated to each tile
         in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 3
 
     @jax.jit
-    def run(seed: jnp.ndarray, *env_tabs) -> jnp.ndarray:
+    def run(seed: jnp.ndarray, *extra) -> jnp.ndarray:
         fr, fg, fb = pl.pallas_call(
             kernel,
             grid=(n_tiles,),
@@ -262,7 +344,7 @@ def _build_pallas_pt(ss: StaticScene, cam: Tuple[float, ...], width: int,
             out_shape=(film_shape, film_shape, film_shape),
             out_specs=(block, block, block),
             compiler_params=pltpu.CompilerParams(has_side_effects=True),
-        )(seed.reshape(1).astype(jnp.int32), *env_tabs)
+        )(seed.reshape(1).astype(jnp.int32), *extra)
         film = jnp.stack([fr.reshape(-1)[:n_pix], fg.reshape(-1)[:n_pix],
                           fb.reshape(-1)[:n_pix]], axis=-1)
         if linear:
@@ -271,6 +353,45 @@ def _build_pallas_pt(ss: StaticScene, cam: Tuple[float, ...], width: int,
         return jnp.sqrt(jnp.maximum(film, 0.0)).reshape(height, width, 3)
 
     return run
+
+
+def _mesh_args(ma, with_uv: bool = False) -> tuple:
+    """MeshAccel -> ((n_blocks, b) static key, the runtime arrays —
+    16 tables, +7 UV tables when `with_uv`)."""
+    bt = ma.bt
+    arrs = (bt.bb_min, bt.bb_max, bt.v1x, bt.v1y, bt.v1z, bt.e1x, bt.e1y,
+            bt.e1z, bt.e2x, bt.e2y, bt.e2z, bt.nx, bt.ny, bt.nz, bt.mat,
+            bt.pid)
+    if with_uv:
+        assert bt.tex is not None, "mesh has no UV tables"
+        arrs += (bt.uv1x, bt.uv1y, bt.ue1x, bt.ue1y, bt.ue2x, bt.ue2y,
+                 bt.tex)
+    return ((int(bt.v1x.shape[0]), int(bt.block)), arrs)
+
+
+TEX_ROWS = 32  # binned surface textures: TEX_ROWS x 128 texels per texture
+
+
+def _tex_tabs(textures) -> tuple:
+    """Bin each (H, W, 3) texture to 3 x (TEX_ROWS, 128) tables.  Sources
+    at least grid-sized are mean-pooled (prefiltered minification; exact
+    identity at exactly (TEX_ROWS, 128)); smaller sources are
+    nearest-sampled at bin centers (mean-pooling would leave empty bins)."""
+    from .env import bin_env_map
+    tabs = ()
+    for tex in textures:
+        e = np.asarray(tex, np.float32)
+        h, w = e.shape[0], e.shape[1]
+        if h >= TEX_ROWS and w >= LANES:
+            t = bin_env_map(e, rows=TEX_ROWS, lanes=LANES)
+        else:
+            ys = np.clip(((np.arange(TEX_ROWS) + 0.5) * h
+                          / TEX_ROWS).astype(np.int64), 0, h - 1)
+            xs = np.clip(((np.arange(LANES) + 0.5) * w
+                          / LANES).astype(np.int64), 0, w - 1)
+            t = e[ys[:, None], xs[None, :]].transpose(2, 0, 1)
+        tabs += (jnp.asarray(t[0]), jnp.asarray(t[1]), jnp.asarray(t[2]))
+    return tabs
 
 
 ENV_ROWS = 32  # in-kernel env bin table: ENV_ROWS x 128 bins
@@ -356,17 +477,30 @@ def _env_tabs(env_map):
 
 
 def _render_gamma(ss, cam, width, height, spp, depth, seed, t_min, bsdf,
-                  env_map):
+                  env_map, mesh_accel=None, textures=None):
     """Shared driver: kernel (+ exact bounce-0 env pass) -> gamma'd image."""
     hs = _hashable_static_scene(ss)
     ct = _camera_tuple(cam)
+    mesh_uv = bool(textures) and mesh_accel is not None \
+        and mesh_accel.bt.tex is not None
+    mesh_key, mesh_arrs = (None, ()) if mesh_accel is None \
+        else _mesh_args(mesh_accel, with_uv=mesh_uv)
+    n_tex = len(textures) if textures else 0
+    tex_arrs = _tex_tabs(textures) if textures else ()
     if env_map is None:
         run = _build_pallas_pt(hs, ct, width, height, spp, depth, t_min,
-                               bsdf=bsdf)
-        return run(jnp.asarray([seed], jnp.int32))
+                               bsdf=bsdf, mesh=mesh_key, n_tex=n_tex,
+                               mesh_uv=mesh_uv)
+        return run(jnp.asarray([seed], jnp.int32), *mesh_arrs, *tex_arrs)
+    # env-map scenes: the exact bounce-0 pass brute-forces the unrolled
+    # scene, so mesh scenes with env maps stay on the XLA hybrid
+    # (renderers/acc_pt.py routes accordingly)
+    assert mesh_accel is None, "env map + in-kernel mesh not supported"
     run = _build_pallas_pt(hs, ct, width, height, spp, depth, t_min,
-                           bsdf=bsdf, linear=True, env_rows=ENV_ROWS)
-    film = run(jnp.asarray([seed], jnp.int32), *_env_tabs(env_map))
+                           bsdf=bsdf, linear=True, env_rows=ENV_ROWS,
+                           n_tex=n_tex)
+    film = run(jnp.asarray([seed], jnp.int32), *tex_arrs,
+               *_env_tabs(env_map))
     prim = _build_env_primary(hs, ct, width, height, spp, t_min)
     film = film + prim(jnp.int32(seed), jnp.asarray(env_map))
     inv = 1.0 / float(spp)
@@ -376,52 +510,71 @@ def _render_gamma(ss, cam, width, height, spp, depth, seed, t_min, bsdf,
 def render_simple_pt_pallas(ss: StaticScene, cam, width: int, height: int,
                             spp: int, depth: int, seed: int = 0,
                             t_min: float = None,
-                            env_map=None) -> jnp.ndarray:
+                            env_map=None, textures=None) -> jnp.ndarray:
     """Full diffuse-PT render via the Pallas megakernel.
 
     Returns (H, W, 3) gamma'd image, row 0 = BOTTOM (same contract as
     renderers.simple_pt.build_render_fn).  `env_map`: (He, We, 3) equirect
-    radiance for ambient type ENVIRONMENT_MAP (`Scene.hpp:29-38`)."""
+    radiance for ambient type ENVIRONMENT_MAP (`Scene.hpp:29-38`);
+    `textures`: surface textures, resolved in-kernel from binned tables."""
     if t_min is None:
         from .pt_core import scene_epsilon
         t_min = scene_epsilon(ss)
     return _render_gamma(ss, cam, width, height, spp, depth, seed, t_min,
-                         False, env_map)
+                         False, env_map, textures=textures)
 
 
 def render_pt_pallas_linear(ss: StaticScene, cam, width: int, height: int,
                             spp: int, depth: int, seed: int = 0,
                             t_min: float = None, bsdf: bool = False,
-                            env_map=None) -> jnp.ndarray:
+                            env_map=None, mesh_accel=None,
+                            textures=None) -> jnp.ndarray:
     """One progressive pass on the Pallas engine: LINEAR film SUM over
-    `spp` samples, (n_pix, 3).  Distinct seeds give independent passes."""
+    `spp` samples, (n_pix, 3).  Distinct seeds give independent passes.
+    `mesh_accel`: a `bvh.MeshAccel` — runs the blocked triangle sweep
+    inside the kernel's bounce loop (VERDICT r2 #2).  `textures`: tuple of
+    (H, W, 3) arrays, resolved in-kernel from binned (TEX_ROWS, 128)
+    tables (VERDICT r2 #4)."""
     if t_min is None:
         from .pt_core import scene_epsilon
         t_min = scene_epsilon(ss)
     hs = _hashable_static_scene(ss)
     ct = _camera_tuple(cam)
+    mesh_uv = bool(textures) and mesh_accel is not None \
+        and mesh_accel.bt.tex is not None
+    mesh_key, mesh_arrs = (None, ()) if mesh_accel is None \
+        else _mesh_args(mesh_accel, with_uv=mesh_uv)
+    n_tex = len(textures) if textures else 0
+    tex_arrs = _tex_tabs(textures) if textures else ()
     run = _build_pallas_pt(hs, ct, width, height, spp, depth, t_min,
-                           bsdf=bsdf, linear=True,
+                           bsdf=bsdf, linear=True, mesh=mesh_key,
+                           n_tex=n_tex, mesh_uv=mesh_uv,
                            env_rows=ENV_ROWS if env_map is not None else 0)
     if env_map is None:
-        return run(jnp.asarray([seed], jnp.int32))
-    film = run(jnp.asarray([seed], jnp.int32), *_env_tabs(env_map))
+        return run(jnp.asarray([seed], jnp.int32), *mesh_arrs, *tex_arrs)
+    assert mesh_accel is None, "env map + in-kernel mesh not supported"
+    film = run(jnp.asarray([seed], jnp.int32), *tex_arrs,
+               *_env_tabs(env_map))
     prim = _build_env_primary(hs, ct, width, height, spp, t_min)
     return film + prim(jnp.int32(seed), jnp.asarray(env_map))
 
 
 def render_bsdf_pt_pallas(ss: StaticScene, cam, width: int, height: int,
                           spp: int, depth: int, seed: int = 0,
-                          t_min: float = None, env_map=None) -> jnp.ndarray:
-    """AccPathTracer's 4-BSDF estimator via the Pallas megakernel (no mesh
-    BVH path inside the kernel yet — the acc renderer uses this engine only
-    for brute-force-size scenes).  Same output contract as
+                          t_min: float = None, env_map=None,
+                          mesh_accel=None, textures=None) -> jnp.ndarray:
+    """AccPathTracer's 4-BSDF estimator via the Pallas megakernel.
+    `mesh_accel` (a `bvh.MeshAccel`) folds the BVH-preorder blocked
+    triangle sweep into the kernel's bounce loop, so mesh scenes run
+    camera -> bounce -> sweep -> film entirely in VMEM.  `textures` are
+    resolved in-kernel from binned tables.  Same output contract as
     render_simple_pt_pallas."""
     if t_min is None:
         from .pt_core import scene_epsilon
         t_min = scene_epsilon(ss)
     return _render_gamma(ss, cam, width, height, spp, depth, seed, t_min,
-                         True, env_map)
+                         True, env_map, mesh_accel=mesh_accel,
+                         textures=textures)
 
 
 class _HashableScene:

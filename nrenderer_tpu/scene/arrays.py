@@ -146,7 +146,11 @@ def _pack_material(mat) -> Tuple[int, np.ndarray]:
                            or (1.0, 1.0, 1.0))
     spec_ex = mat.get_property("specularEx", PropertyType.FLOAT)
     p[MAT_SPECULAR_EX] = 1.0 if spec_ex is None else spec_ex
-    ior = mat.get_property("ior", PropertyType.FLOAT)
+    # `ior` (Dielectric template); `refractIndex` is the Plastic template's
+    # name for the same quantity (`MaterialTemplates.hpp:62-65`)
+    ior = (mat.get_property("ior", PropertyType.FLOAT)
+           if mat.get_property("ior", PropertyType.FLOAT) is not None
+           else mat.get_property("refractIndex", PropertyType.FLOAT))
     p[MAT_IOR] = 1.5 if ior is None else ior
     p[MAT_ABSORBED] = _vec(mat.get_property("absorbed", PropertyType.RGB)
                            or (1.0, 1.0, 1.0))
@@ -159,6 +163,13 @@ def _pack_material(mat) -> Tuple[int, np.ndarray]:
     albedo = (mat.get_property("albedo", PropertyType.RGB)
               or mat.get_property("reflect", PropertyType.RGB)
               or (1.0, 1.0, 1.0))
+    # Plastic (type 4, `MaterialTemplates.hpp:62-65`) carries its
+    # specularColor in the albedo slots: albedo is only read by the
+    # conductor/microfacet lobes (types 1/3) and a material has one type,
+    # so type 4 reuses the channels instead of widening every hit carry
+    if mat.type == 4 and mat.get_property("albedo", PropertyType.RGB) is None:
+        albedo = (mat.get_property("specularColor", PropertyType.RGB)
+                  or (1.0, 1.0, 1.0))
     p[MAT_ALBEDO] = _vec(albedo)
     rough = mat.get_property("roughness", PropertyType.FLOAT)
     p[MAT_ROUGHNESS] = 0.2 if rough is None else rough

@@ -28,10 +28,15 @@ TEMPLATES: Dict[str, Tuple[int, List[Tuple[str, PropertyType, object]]]] = {
     "Conductor": (3, [
         ("reflect", PropertyType.RGB, (1.0, 1.0, 1.0)),
     ]),
+    # Plastic is template-only in the reference (no renderer implements
+    # type 4); this rebuild DEFINES it as Fresnel-weighted diffuse+specular
+    # (`ops/pt_core.plastic_scatter`).  `refractIndex` is the reference's
+    # property name (`MaterialTemplates.hpp:65`); the importer also accepts
+    # `ior` as an alias (scene/arrays.py).
     "Plastic": (4, [
         ("diffuseColor", PropertyType.RGB, (1.0, 1.0, 1.0)),
         ("specularColor", PropertyType.RGB, (1.0, 1.0, 1.0)),
-        ("ior", PropertyType.FLOAT, 1.5),
+        ("refractIndex", PropertyType.FLOAT, 1.5),
     ]),
 }
 

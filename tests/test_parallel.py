@@ -56,6 +56,41 @@ def test_sharded_matches_single_device_exact(setup):
     np.testing.assert_allclose(img8, expect, rtol=1e-5, atol=1e-6)
 
 
+def test_pixel_sharded_matches_single_device_exact(setup):
+    """Pixel-axis sharding (VERDICT r2 #5): each device renders a disjoint
+    horizontal band with NO collective — band k of the 8-device render must
+    be BIT-identical to a single-device render of the same band with the
+    same seed (the reference's row-interleave analogue,
+    SimplePathTracer.cpp:80-87)."""
+    import jax.numpy as jnp
+    from nrenderer_tpu.ops.sampling import make_base_key
+    from nrenderer_tpu.parallel.mesh import (
+        _linear_film, build_sharded_render_pixels)
+    from nrenderer_tpu.renderers.simple_pt import trace_diffuse_wavefront
+
+    ss, cam = setup
+    w, h, spp, depth = 16, 32, 4, 3
+    mesh = make_mesh(8)
+    fn = build_sharded_render_pixels(ss, w, h, spp, depth, mesh)
+    seeds = jnp.arange(8, dtype=jnp.int32)
+    img8 = np.asarray(fn(cam, seeds))
+    assert img8.shape == (h, w, 3)
+    assert np.isfinite(img8).all()
+    assert img8.max() > 0
+
+    h_loc = h // 8
+    trace = lambda o, d, key: trace_diffuse_wavefront(ss, o, d, key, depth)
+    for k in range(8):
+        key = jax.random.fold_in(make_base_key(0), seeds[k])
+        band = _linear_film(trace, cam, w, h, spp, 1, key,
+                            row0=float(k * h_loc), rows=h_loc)
+        band = np.sqrt(np.maximum(np.asarray(band) / spp, 0.0))
+        band = band.reshape(h_loc, w, 3)
+        np.testing.assert_array_equal(
+            img8[k * h_loc:(k + 1) * h_loc], band,
+            err_msg=f"band {k} differs from single-device render")
+
+
 def test_mesh_sizes(setup):
     ss, cam = setup
     for n in (1, 2, 4):

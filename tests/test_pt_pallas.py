@@ -68,6 +68,143 @@ def test_pallas_bsdf_kernel_matches_xla_engine(setup):
     assert corr > 0.65  # specular paths are noisier than diffuse
 
 
+def _mesh_test_scene(n_faces: int = 200):
+    """Bunny mesh in a lit box-ish scene for the in-kernel sweep tests."""
+    from nrenderer_tpu import load_obj
+    from nrenderer_tpu.scene.model import (
+        AreaLight, Material, Property, PropertyType)
+
+    s = load_obj(f"/root/reference/resource/obj/bunny_{n_faces}_faces.obj")
+    s.models[0].scale = (600.0, 600.0, 600.0)
+    s.models[0].translation = (40.0, -305.0, 920.0)
+    s.mesh_buffer[0].material = 0
+    m = Material(name="W", type=0)
+    m.register_property(Property("diffuseColor", PropertyType.RGB,
+                                 (0.7, 0.7, 0.7)))
+    s.materials.append(m)
+    s.area_light_buffer.append(AreaLight(position=(-200.0, 300.0, 700.0),
+                                         u=(400.0, 0.0, 0.0),
+                                         v=(0.0, 0.0, 400.0),
+                                         radiance=(3.0, 3.0, 3.0)))
+    s.camera.position = (0.0, 0.0, -500.0)
+    return s
+
+
+def test_pallas_inkernel_mesh_matches_brute_force():
+    """The megakernel with the mesh sweep folded into its bounce loop
+    (VERDICT r2 #2) must match the SAME kernel intersecting the triangles
+    as unrolled dense prims: same hash RNG, same estimator, same sampling
+    order -> per-pixel agreement up to float reassociation."""
+    from nrenderer_tpu.ops.bvh import build_mesh_accel
+    from nrenderer_tpu.ops.pt_core import make_mat_channels
+    from nrenderer_tpu.ops.pt_pallas import render_bsdf_pt_pallas
+
+    s = _mesh_test_scene(200)
+    arr = build_scene_arrays(s)
+    ss = make_static_scene(arr)
+    cam = make_camera(s.camera)
+    ma = build_mesh_accel(arr, make_mat_channels(ss))
+    w = h = 16
+    spp, depth = 2, 2
+    with pltpu.force_tpu_interpret_mode():
+        img_mesh = np.asarray(render_bsdf_pt_pallas(
+            ss, cam, w, h, spp, depth, seed=0, mesh_accel=ma))
+        img_brute = np.asarray(render_bsdf_pt_pallas(
+            ss, cam, w, h, spp, depth, seed=0))
+    assert np.isfinite(img_mesh).all()
+    assert img_mesh.max() > 0.01
+    np.testing.assert_allclose(img_mesh, img_brute, atol=2e-3)
+
+
+def _lit_textured_quad(tmp_path, n: int = 1):
+    """Textured quad scene (left-red / right-green map), n x n subdivided,
+    with an area light and a head-on camera (borrowed from
+    tests/test_texture.py)."""
+    from nrenderer_tpu import load_obj
+    from nrenderer_tpu.io.image import write_png
+    from nrenderer_tpu.scene.model import AreaLight
+
+    img = np.zeros((8, 8, 3), np.float32)
+    img[:, :4] = (1.0, 0.0, 0.0)
+    img[:, 4:] = (0.0, 1.0, 0.0)
+    write_png(str(tmp_path / "tex.png"), img)
+    (tmp_path / "q.mtl").write_text("newmtl m\nKd 1 1 1\nmap_Kd tex.png\n")
+    verts, uvs, faces = [], [], []
+    for j in range(n + 1):
+        for i in range(n + 1):
+            verts.append((i / n * 2 - 1, j / n * 2 - 1, 0.0))
+            uvs.append((i / n, j / n))
+    for j in range(n):
+        for i in range(n):
+            a = j * (n + 1) + i + 1
+            b, c_, d_ = a + 1, a + n + 2, a + n + 1
+            faces.append((a, b, c_))
+            faces.append((a, c_, d_))
+    lines = ["mtllib q.mtl"]
+    lines += [f"v {x} {y} {z}" for x, y, z in verts]
+    lines += [f"vt {u} {v}" for u, v in uvs]
+    lines.append("usemtl m")
+    lines += [f"f {a}/{a} {b}/{b} {c}/{c}" for a, b, c in faces]
+    (tmp_path / "q.obj").write_text("\n".join(lines) + "\n")
+    scene = load_obj(str(tmp_path / "q.obj"))
+    scene.materials[0].type = 0
+    scene.area_light_buffer.append(AreaLight(
+        position=(-2.0, 2.5, 2.0), u=(4.0, 0.0, 0.0), v=(0.0, 0.0, 2.0),
+        radiance=(6.0, 6.0, 6.0)))
+    scene.camera.position = (0.0, 0.0, 4.0)
+    scene.camera.look_at = (0.0, 0.0, 0.0)
+    return scene
+
+
+def test_pallas_textures_dense(tmp_path):
+    """In-kernel binned texture resolve on the dense (unrolled) path:
+    left half red-dominant, right half green-dominant (VERDICT r2 #4)."""
+    from nrenderer_tpu.ops.pt_pallas import render_simple_pt_pallas
+
+    scene = _lit_textured_quad(tmp_path, n=1)
+    arr = build_scene_arrays(scene)
+    ss = make_static_scene(arr)
+    cam = make_camera(scene.camera)
+    w = h = 16
+    with pltpu.force_tpu_interpret_mode():
+        img = np.asarray(render_simple_pt_pallas(
+            ss, cam, w, h, 8, 3, seed=0, textures=arr.textures))
+    img = img[::-1]
+    assert np.isfinite(img).all()
+    left = img[4:12, 2:7]
+    right = img[4:12, 9:14]
+    assert left[..., 0].mean() > 2.0 * left[..., 1].mean()
+    assert right[..., 1].mean() > 2.0 * right[..., 0].mean()
+
+
+def test_pallas_textures_through_mesh_sweep(tmp_path):
+    """UVs interpolated DURING the in-kernel mesh sweep + binned texel
+    resolve: the 128-face textured grid stays red/green through the
+    megakernel mesh path (VERDICT r2 #4 'carry (u,v,tex) through
+    _pt_kernel and _sweep_kernel')."""
+    from nrenderer_tpu.ops.bvh import build_mesh_accel
+    from nrenderer_tpu.ops.pt_core import make_mat_channels
+    from nrenderer_tpu.ops.pt_pallas import render_bsdf_pt_pallas
+
+    scene = _lit_textured_quad(tmp_path, n=8)
+    arr = build_scene_arrays(scene)
+    ss = make_static_scene(arr)
+    cam = make_camera(scene.camera)
+    ma = build_mesh_accel(arr, make_mat_channels(ss))
+    assert ma.bt.tex is not None
+    w = h = 16
+    with pltpu.force_tpu_interpret_mode():
+        img = np.asarray(render_bsdf_pt_pallas(
+            ss, cam, w, h, 4, 2, seed=0, mesh_accel=ma,
+            textures=arr.textures))
+    img = img[::-1]
+    assert np.isfinite(img).all()
+    left = img[4:12, 2:7]
+    right = img[4:12, 9:14]
+    assert left[..., 0].mean() > 2.0 * left[..., 1].mean()
+    assert right[..., 1].mean() > 2.0 * right[..., 0].mean()
+
+
 def test_bin_env_map_identity_and_downsample():
     """(rows, lanes)-sized maps pass through exactly; larger maps bin to
     texel means."""
