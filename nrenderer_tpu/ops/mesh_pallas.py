@@ -311,6 +311,10 @@ def _channels_from_mat(mat, miss, mat_channels):
     return tuple(chans)
 
 
+MESH_COMPACT_FRACTION = 8   # compacted ray buffer = N / this
+MESH_COMPACT_MIN = 64 * 1024  # below this wavefront size, skip compaction
+
+
 def intersect_triangles_mesh(ma: MeshAccel, o: V3, d: V3, t_min: float,
                              t_dense, mat_channels, alive=None,
                              interpret: bool = None):
@@ -321,18 +325,80 @@ def intersect_triangles_mesh(ma: MeshAccel, o: V3, d: V3, t_min: float,
     finished rays get a zero cap and skip the mesh entirely (the lockstep
     wavefront keeps dead lanes; this makes them free here).
 
+    Mesh-AABB ray COMPACTION (round 3): on a bounce wavefront only a few
+    percent of rays reach the mesh's top-level AABB, but the sweep's
+    tile-level `lax.cond` gating is defeated by lockstep divergence — one
+    scattered ray per 32x128 tile makes nearly every tile sweep nearly
+    every block.  Packing the hitting rays first (measured 0.1 ms at 2M
+    rays for nonzero+gathers; the round-2 "170 ms" note was a cold-dispatch
+    artifact) shrinks the sweep from ~N/4096 tiles to ~hits/4096 tiles, and
+    `n_valid` skips everything past the pack.  Overflow (> N/8 hits) falls
+    back to the uncompacted sweep via `lax.cond` — exact, just slower.
+
     Returns the `intersect_triangles_blocked` result tuple
     (t, nx, ny, nz, mat_id, prim_id, channels)."""
     t_cap = t_dense
     if alive is not None:
         t_cap = jnp.where(alive, t_cap, 0.0)
-    t, idx, nx, ny, nz, mat = sweep_mesh_full(ma.bt, o, d, t_min,
-                                              t_cap=t_cap,
-                                              interpret=interpret)
+    n = o.x.shape[0]
+    cap = max(1024, n // MESH_COMPACT_FRACTION)
+    if n < MESH_COMPACT_MIN or cap >= n:
+        t, idx, nx, ny, nz, mat = sweep_mesh_full(ma.bt, o, d, t_min,
+                                                  t_cap=t_cap,
+                                                  interpret=interpret)
+        miss = idx < 0
+        chans = _channels_from_mat(mat, miss, mat_channels)
+        pid = jnp.where(miss, -1.0, idx.astype(jnp.float32))
+        return t, nx, ny, nz, mat, pid, chans
+
+    # top-level mesh AABB slab test (same culling rule as the in-sweep
+    # per-block test: a ray whose current cap beats the box entry skips)
+    mesh_min = ma.bt.bb_min.min(axis=0)
+    mesh_max = ma.bt.bb_max.max(axis=0)
+
+    def axis(mn, mx, oo, dd):
+        inv = 1.0 / jnp.where(jnp.abs(dd) < 1e-20, 1e-20, dd)
+        t0 = (mn - oo) * inv
+        t1 = (mx - oo) * inv
+        return jnp.minimum(t0, t1), jnp.maximum(t0, t1)
+
+    nx0, nx1 = axis(mesh_min[0], mesh_max[0], o.x, d.x)
+    ny0, ny1 = axis(mesh_min[1], mesh_max[1], o.y, d.y)
+    nz0, nz1 = axis(mesh_min[2], mesh_max[2], o.z, d.z)
+    t_near = jnp.maximum(jnp.maximum(nx0, ny0), nz0)
+    t_far = jnp.minimum(jnp.minimum(nx1, ny1), nz1)
+    m = (t_near <= t_far) & (t_far >= t_min) & (t_near < t_cap)
+    n_hit = jnp.sum(m.astype(jnp.int32))
+
+    inf = jnp.float32(jnp.inf)
+
+    def compacted(_):
+        (ridx,) = jnp.nonzero(m, size=cap, fill_value=n)
+        g = jnp.clip(ridx, 0, n - 1)
+        take = lambda a: jnp.take(a, g, mode="clip")
+        oc = V3(take(o.x), take(o.y), take(o.z))
+        dc = V3(take(d.x), take(d.y), take(d.z))
+        tc_cap = take(t_cap)
+        t, idx, nxs, nys, nzs, mat = sweep_mesh_full(
+            ma.bt, oc, dc, t_min, t_cap=tc_cap, n_valid=n_hit,
+            interpret=interpret)
+        scat = lambda init, vals: init.at[ridx].set(
+            vals, mode="drop", indices_are_sorted=True, unique_indices=True)
+        return (scat(jnp.full((n,), inf), t),
+                scat(jnp.full((n,), -1, jnp.int32), idx),
+                scat(jnp.zeros((n,)), nxs), scat(jnp.zeros((n,)), nys),
+                scat(jnp.zeros((n,)), nzs), scat(jnp.zeros((n,)), mat))
+
+    def full_sweep(_):
+        return sweep_mesh_full(ma.bt, o, d, t_min, t_cap=t_cap,
+                               interpret=interpret)
+
+    t, idx, nxs, nys, nzs, mat = jax.lax.cond(
+        n_hit > cap, full_sweep, compacted, operand=None)
     miss = idx < 0
     chans = _channels_from_mat(mat, miss, mat_channels)
     pid = jnp.where(miss, -1.0, idx.astype(jnp.float32))
-    return t, nx, ny, nz, mat, pid, chans
+    return t, nxs, nys, nzs, mat, pid, chans
 
 
 def _gather_shading(tp: TrianglePack, t, idx):

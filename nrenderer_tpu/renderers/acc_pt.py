@@ -46,6 +46,7 @@ from ..server.registry import get_server, register_renderer
 from .simple_pt import pick_chunk
 
 BVH_THRESHOLD = 64
+MEGAMESH_MAX_TRIS = 1024  # in-kernel sweep wins below; compacted hybrid above
 
 
 def trace_bsdf_wavefront(ss: StaticScene, o: V3, d: V3, key, depth: int,
@@ -168,16 +169,24 @@ class AccPathTracerRenderer(RenderComponent):
                       and jax.default_backend() not in ("cpu",)
                       and n_tri <= BVH_THRESHOLD
                       and (not textures or tex_kernel_ok))
-        # mesh scenes (no env): ONE megakernel with the blocked triangle
-        # sweep folded into the bounce loop (VERDICT r2 #2) —
+        # small mesh pools (no env): ONE megakernel with the blocked
+        # triangle sweep folded into the bounce loop (VERDICT r2 #2) —
         # camera/bounce/sweep/film never leave VMEM; spp is chunked over
         # multiple kernel launches (a single multi-minute execution can
-        # crash the TPU worker) with progressive previews for free
-        use_pallas_mesh = (engine not in ("xla", "hybrid")
-                          and jax.default_backend() not in ("cpu",)
+        # crash the TPU worker) with progressive previews for free.
+        # LARGE pools stay on the compacted hybrid: measured on bunny-5k
+        # (40 blocks) the in-kernel sweep loses to compaction — one
+        # scattered ray per 32x128 tile makes nearly every tile sweep
+        # nearly every block (127 s vs the hybrid), while at bunny-200
+        # scale (2 blocks) the megakernel wins outright (0.18 s warm at
+        # 64^2).  NR_ENGINE=megamesh forces the in-kernel path.
+        use_pallas_mesh = (jax.default_backend() not in ("cpu",)
                           and n_tri > BVH_THRESHOLD
                           and (not textures or tex_kernel_ok)
-                          and not use_env)
+                          and not use_env
+                          and (engine == "megamesh"
+                               or (engine not in ("xla", "hybrid")
+                                   and n_tri <= MEGAMESH_MAX_TRIS)))
         if use_pallas_mesh:
             from ..ops.bvh import build_mesh_accel
             from ..ops.pt_pallas import render_pt_pallas_linear

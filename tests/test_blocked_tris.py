@@ -60,6 +60,7 @@ def test_padding_never_hits(bunny):
     assert (pid[-1, -56:] == -1).all()
 
 
+@pytest.mark.slow
 def test_compaction_overflow_falls_back(bunny):
     """When more rays hit the mesh AABB than the compaction capacity, the
     wavefront must fall back to the exact full sweep — no ray may silently

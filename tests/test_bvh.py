@@ -82,6 +82,7 @@ def test_traversal_matches_brute_force(bunny):
                                np.asarray(nx)[hit_v], atol=1e-4)
 
 
+@pytest.mark.slow
 def test_acc_pt_renders_bunny_with_bvh(resource_dir):
     import nrenderer_tpu
     nrenderer_tpu._register_builtin_renderers()

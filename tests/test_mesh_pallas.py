@@ -107,3 +107,53 @@ def test_n_valid_tail_skip(setup):
     np.testing.assert_allclose(t[:n_valid], tb[:n_valid], rtol=1e-6)
     assert not np.isfinite(t[n_valid:]).any()
     assert (np.asarray(idx)[n_valid:] == -1).all()
+
+
+def test_unaligned_n_valid_no_leak(setup):
+    """Rays past a NON-tile-aligned n_valid must report no hits (ADVICE r2:
+    the kernel's tile skip is SUB*128-granular; the per-ray t_cap mask
+    covers the partially-valid tile)."""
+    ma, ch, o, dv, blocked = setup
+    tb = np.asarray(blocked[0])
+    n_valid = 1000  # inside the first 4096-ray tile
+    t, idx = sweep_mesh_pallas(ma.bt, o, dv, 1e-3, n_valid=n_valid)
+    t = np.asarray(t)
+    np.testing.assert_allclose(t[:n_valid], tb[:n_valid], rtol=1e-6)
+    assert not np.isfinite(t[n_valid:]).any()
+
+
+def test_mesh_compaction_matches_uncompacted(setup, monkeypatch):
+    """Mesh-AABB ray compaction (round 3) is a pure optimization: with the
+    threshold lowered so the 5000-ray batch compacts, results must equal
+    the uncompacted sweep exactly."""
+    import nrenderer_tpu.ops.mesh_pallas as mp
+
+    ma, ch, o, dv, blocked = setup
+    n = o.x.shape[0]
+    t_dense = jnp.full((n,), jnp.inf)
+    base = intersect_triangles_mesh(ma, o, dv, 1e-3, t_dense, ch)
+    monkeypatch.setattr(mp, "MESH_COMPACT_MIN", 64)
+    comp = mp.intersect_triangles_mesh(ma, o, dv, 1e-3, t_dense, ch)
+    for got, want in zip(comp[:6], base[:6]):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-6, atol=1e-6)
+    for got, want in zip(comp[6], base[6]):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-6)
+
+
+def test_mesh_compaction_overflow_fallback(setup, monkeypatch):
+    """When more rays hit the mesh AABB than the compact buffer holds, the
+    lax.cond falls back to the full sweep — still exact."""
+    import nrenderer_tpu.ops.mesh_pallas as mp
+
+    ma, ch, o, dv, blocked = setup
+    n = o.x.shape[0]
+    t_dense = jnp.full((n,), jnp.inf)
+    base = intersect_triangles_mesh(ma, o, dv, 1e-3, t_dense, ch)
+    monkeypatch.setattr(mp, "MESH_COMPACT_MIN", 64)
+    # fraction so large the cap is tiny -> guaranteed overflow
+    monkeypatch.setattr(mp, "MESH_COMPACT_FRACTION", n)
+    comp = mp.intersect_triangles_mesh(ma, o, dv, 1e-3, t_dense, ch)
+    np.testing.assert_allclose(np.asarray(comp[0]), np.asarray(base[0]),
+                               rtol=1e-6)

@@ -23,12 +23,14 @@ def mlt_image(resource_dir):
     return render_mlt(scene, chains=256, mutations=60, n_init=2048, seed=0)
 
 
+@pytest.mark.slow
 def test_shape_and_range(mlt_image):
     assert mlt_image.shape == (48, 48, 4)
     assert np.isfinite(mlt_image).all()
     assert 0.0 <= mlt_image.min() and mlt_image.max() <= 1.0
 
 
+@pytest.mark.slow
 def test_scene_structure(mlt_image):
     img = mlt_image[..., :3]
     assert img.max() > 0.3  # something bright
@@ -89,6 +91,7 @@ def test_no_area_light_is_black(resource_dir):
     assert img[..., :3].max() == 0.0
 
 
+@pytest.mark.slow
 def test_registered_and_runs_via_manager(resource_dir):
     from nrenderer_tpu.server.manager import ComponentManager
     scene = load_scn(str(resource_dir / "Metropolis.scn"))

@@ -17,6 +17,8 @@ BENCH.md.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # ~10 min golden renders
+
 from nrenderer_tpu import load_scn
 from nrenderer_tpu.io.image import read_png
 

@@ -35,6 +35,7 @@ def test_sharded_render_runs(setup):
     assert img.max() > 0
 
 
+@pytest.mark.slow
 def test_sharded_matches_single_device_exact(setup):
     """The sharded estimator is a plain psum of per-device linear films, so
     the 8-device render at total spp=64 must equal — per pixel, up to float
@@ -124,6 +125,7 @@ def test_sharded_acc_bsdf(setup):
     assert abs(img8.mean() - img1.mean()) < 0.08
 
 
+@pytest.mark.slow
 def test_sharded_acc_mesh_pallas():
     """Sharded AccPT with the Pallas mesh engine (interpret) replicated
     across the 8-device mesh — the read-only acceleration structure is a
@@ -160,6 +162,7 @@ def test_sharded_acc_mesh_pallas():
     assert img.max() > 0
 
 
+@pytest.mark.slow
 def test_sharded_mlt_chains():
     """Chain-sharded MLT over the 8-device mesh agrees statistically with
     the single-chip driver at the same total chain budget."""

@@ -44,6 +44,7 @@ def test_pallas_kernel_matches_xla_engine(setup):
     assert corr > 0.65
 
 
+@pytest.mark.slow
 def test_pallas_bsdf_kernel_matches_xla_engine(setup):
     """The 4-BSDF megakernel (glass + conductor dispatch) agrees with the
     XLA wavefront statistically — same estimator, independent RNG."""
@@ -90,6 +91,7 @@ def _mesh_test_scene(n_faces: int = 200):
     return s
 
 
+@pytest.mark.slow
 def test_pallas_inkernel_mesh_matches_brute_force():
     """The megakernel with the mesh sweep folded into its bounce loop
     (VERDICT r2 #2) must match the SAME kernel intersecting the triangles
@@ -177,6 +179,7 @@ def test_pallas_textures_dense(tmp_path):
     assert right[..., 1].mean() > 2.0 * right[..., 0].mean()
 
 
+@pytest.mark.slow
 def test_pallas_textures_through_mesh_sweep(tmp_path):
     """UVs interpolated DURING the in-kernel mesh sweep + binned texel
     resolve: the 128-face textured grid stays red/green through the

@@ -113,6 +113,7 @@ def test_textured_obj_render(tmp_path):
     assert right[..., 1].mean() > 2.0 * right[..., 0].mean()
 
 
+@pytest.mark.slow
 def test_textured_mesh_bvh_path(tmp_path):
     """Textures survive the BlockedTris mesh sweep (>BVH_THRESHOLD tris):
     an 8x8-subdivided quad (128 faces) renders left-red / right-green
