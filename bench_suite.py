@@ -159,6 +159,67 @@ def main() -> int:
                      "spp, depth 8", dt,
                      f"{env_spp / dt:.0f} spp/s (ref: unimplemented)"))
 
+    # 4c. textured vs untextured mesh twins (VERDICT r2 #4 acceptance:
+    # textures must stay on the fast engines, within 1.5x of the twin).
+    # An 8x8-subdivided quad (128 faces) with / without a map_Kd texture.
+    import tempfile
+    from nrenderer_tpu.renderers.acc_pt import AccPathTracerRenderer
+    from nrenderer_tpu.io.image import write_png
+    from nrenderer_tpu.scene.model import AreaLight
+    with tempfile.TemporaryDirectory() as td:
+        import pathlib as _pl
+        tdp = _pl.Path(td)
+        teximg = np.zeros((32, 128, 3), np.float32)
+        teximg[:, :64] = (1.0, 0.2, 0.2)
+        teximg[:, 64:] = (0.2, 1.0, 0.2)
+        write_png(str(tdp / "tex.png"), teximg)
+        (tdp / "g.mtl").write_text(
+            "newmtl m\nKd 1 1 1\nmap_Kd tex.png\n")
+        nsub = 8
+        verts, uvs, faces = [], [], []
+        for j in range(nsub + 1):
+            for i in range(nsub + 1):
+                verts.append((i / nsub * 2 - 1, j / nsub * 2 - 1, 0.0))
+                uvs.append((i / nsub, j / nsub))
+        for j in range(nsub):
+            for i in range(nsub):
+                a = j * (nsub + 1) + i + 1
+                b, c_, d_ = a + 1, a + nsub + 2, a + nsub + 1
+                faces.append((a, b, c_)); faces.append((a, c_, d_))
+        lines = ["mtllib g.mtl"]
+        lines += [f"v {x} {y} {z}" for x, y, z in verts]
+        lines += [f"vt {u} {v}" for u, v in uvs]
+        lines.append("usemtl m")
+        lines += [f"f {a}/{a} {b}/{b} {c}/{c}" for a, b, c in faces]
+        (tdp / "g.obj").write_text("\n".join(lines) + "\n")
+
+        tex_spp = 64 if backend == "cpu" else 512
+        times = {}
+        for label, strip_tex in (("textured", False), ("untextured", True)):
+            s2 = load_obj(str(tdp / "g.obj"))
+            s2.materials[0].type = 0
+            if strip_tex:
+                s2.materials[0].remove_property("diffuseMap")
+            s2.area_light_buffer.append(AreaLight(
+                position=(-2.0, 2.5, 2.0), u=(4.0, 0.0, 0.0),
+                v=(0.0, 0.0, 2.0), radiance=(6.0, 6.0, 6.0)))
+            s2.camera.position = (0.0, 0.0, 4.0)
+            s2.camera.look_at = (0.0, 0.0, 0.0)
+            ro2 = s2.render_option
+            ro2.width = ro2.height = min(size, 256)
+            ro2.samples_per_pixel = tex_spp
+            ro2.depth = 6
+            AccPathTracerRenderer(seed=0).render(s2)  # compile
+            t0 = time.perf_counter()
+            AccPathTracerRenderer(seed=1).render(s2)
+            times[label] = time.perf_counter() - t0
+        ratio = times["textured"] / max(times["untextured"], 1e-9)
+        rows.append(("AccPT textured grid (128 tris)",
+                     f"{min(size, 256)}x{min(size, 256)}, {tex_spp} spp, "
+                     f"depth 6", times["textured"],
+                     f"{ratio:.2f}x untextured twin "
+                     f"({times['untextured']:.2f}s)"))
+
     # 5. MLT (config 5) — warm the block compile, then measure steady state
     from nrenderer_tpu.renderers.mlt import render_mlt
     scene = load_scn(f"{RES}/Metropolis.scn")

@@ -215,7 +215,11 @@ def intersect_triangles_bvh(bvh: FlatBVH, tp: TrianglePack, o, d,
         t_far = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
                                         jnp.maximum(t0y, t1y)),
                             jnp.maximum(t0z, t1z))
-        hit_box = (t_near <= t_far) & (t_far >= t_min) & (t_near < t_best)
+        # max(t_near, t_min) is the earliest possible in-box hit; raw
+        # t_near is negative when the origin is inside the box, which
+        # would defeat the cap cull for rays parked on the mesh
+        hit_box = ((t_near <= t_far) & (t_far >= t_min)
+                   & (jnp.maximum(t_near, t_min) < t_best))
 
         pidx = take(prim, nc)
         is_leaf = pidx >= 0

@@ -40,6 +40,7 @@ bunny-5k):
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -101,7 +102,12 @@ def sweep_tile(bbmin_ref, bbmax_ref, tri_refs, o, d, tcap, *,
         t_far = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
                                         jnp.maximum(t0y, t1y)),
                             jnp.maximum(t0z, t1z))
-        box_hit = (t_near <= t_far) & (t_far >= t_min) & (t_near < t_best)
+        # entry point of any in-box hit is max(t_near, t_min): comparing
+        # THAT against the cap (not raw t_near, which is negative when the
+        # ray ORIGIN is inside the box) is what lets zero-cap dead rays
+        # parked on the mesh surface skip every block
+        box_hit = ((t_near <= t_far) & (t_far >= t_min)
+                   & (jnp.maximum(t_near, t_min) < t_best))
 
         def sweep(c):
             if uv_refs is not None:
@@ -317,7 +323,7 @@ MESH_COMPACT_MIN = 64 * 1024  # below this wavefront size, skip compaction
 
 def intersect_triangles_mesh(ma: MeshAccel, o: V3, d: V3, t_min: float,
                              t_dense, mat_channels, alive=None,
-                             interpret: bool = None):
+                             interpret: bool = None, cap: int = None):
     """Mesh intersection for a full wavefront on the Pallas sweep engine.
 
     `t_dense`: the already-found dense-primitive hit distance per ray
@@ -325,15 +331,28 @@ def intersect_triangles_mesh(ma: MeshAccel, o: V3, d: V3, t_min: float,
     finished rays get a zero cap and skip the mesh entirely (the lockstep
     wavefront keeps dead lanes; this makes them free here).
 
-    Mesh-AABB ray COMPACTION (round 3): on a bounce wavefront only a few
-    percent of rays reach the mesh's top-level AABB, but the sweep's
-    tile-level `lax.cond` gating is defeated by lockstep divergence — one
-    scattered ray per 32x128 tile makes nearly every tile sweep nearly
-    every block.  Packing the hitting rays first (measured 0.1 ms at 2M
-    rays for nonzero+gathers; the round-2 "170 ms" note was a cold-dispatch
-    artifact) shrinks the sweep from ~N/4096 tiles to ~hits/4096 tiles, and
-    `n_valid` skips everything past the pack.  Overflow (> N/8 hits) falls
-    back to the uncompacted sweep via `lax.cond` — exact, just slower.
+    Mesh-AABB ray COMPACTION (round 3): every ray is slab-tested against
+    the mesh's TOP-LEVEL AABB in plain XLA (~3 ms at 8M rays); rays that
+    can't reach the mesh — dead lanes, rays pointing away, rays whose
+    dense-prim hit is nearer than the box entry — get `t_cap = 0`, and
+    the survivors (5-18% on bunny-5k bounce wavefronts) are packed with
+    `jnp.nonzero` + gathers into a `cap = N/8` buffer for the sweep, the
+    results scattered back.  Overflow (> cap survivors) falls back via
+    `lax.cond` to the UNCOMPACTED sweep with the zeroed caps — which is
+    exactly right for the one place it fires, the near-coherent camera
+    bounce (17.8% AABB rate on the reference bunny framing): coherent
+    rays cluster by tile, so the in-kernel tile/block gating works and
+    the full sweep is cheap.  SCATTERED bounces are the opposite — ~1
+    AABB-hitting ray per 32x128 tile defeats the gating (measured 57 s
+    whole-render full-sweep vs 36 s compacted) — which is why compaction
+    is the default despite the pack/unpack pipeline's own 157-405
+    ms/bounce cost at 8M rays (nonzero ~70 ms, 7 gathers ~50 ms,
+    6 scatters ~16 ms; microbenches with RANDOM live masks make the full
+    sweep look 10x better than it is on real pixel-scattered hits).
+    Block-granular packing was also tried and reverted: 99% of 128-ray
+    rows are live from bounce 1 on, so row packing recreates the
+    lockstep divergence it was meant to remove (97 s whole-render).
+    `NR_MESH_COMPACT=0` forces the zero-cap full sweep everywhere.
 
     Returns the `intersect_triangles_blocked` result tuple
     (t, nx, ny, nz, mat_id, prim_id, channels)."""
@@ -341,8 +360,11 @@ def intersect_triangles_mesh(ma: MeshAccel, o: V3, d: V3, t_min: float,
     if alive is not None:
         t_cap = jnp.where(alive, t_cap, 0.0)
     n = o.x.shape[0]
-    cap = max(1024, n // MESH_COMPACT_FRACTION)
-    if n < MESH_COMPACT_MIN or cap >= n:
+    compact = os.environ.get("NR_MESH_COMPACT", "1") != "0"
+    if cap is None:
+        cap = max(1024, n // MESH_COMPACT_FRACTION)
+    cap = max(1024, -(-cap // 4096) * 4096)  # tile-align for the sweep
+    if n < MESH_COMPACT_MIN or (compact and cap >= n):
         t, idx, nx, ny, nz, mat = sweep_mesh_full(ma.bt, o, d, t_min,
                                                   t_cap=t_cap,
                                                   interpret=interpret)
@@ -367,13 +389,33 @@ def intersect_triangles_mesh(ma: MeshAccel, o: V3, d: V3, t_min: float,
     nz0, nz1 = axis(mesh_min[2], mesh_max[2], o.z, d.z)
     t_near = jnp.maximum(jnp.maximum(nx0, ny0), nz0)
     t_far = jnp.minimum(jnp.minimum(nx1, ny1), nz1)
-    m = (t_near <= t_far) & (t_far >= t_min) & (t_near < t_cap)
+    m = ((t_near <= t_far) & (t_far >= t_min)
+         & (jnp.maximum(t_near, t_min) < t_cap))
+    # rays that can't reach the mesh get a zero cap: every in-kernel block
+    # slab test fails for them, and all-dead tiles skip the block loop
+    t_cap = jnp.where(m, t_cap, 0.0)
+
+    if not compact:
+        t, idx, nxs, nys, nzs, mat = sweep_mesh_full(
+            ma.bt, o, d, t_min, t_cap=t_cap, interpret=interpret)
+        miss = idx < 0
+        chans = _channels_from_mat(mat, miss, mat_channels)
+        pid = jnp.where(miss, -1.0, idx.astype(jnp.float32))
+        return t, nxs, nys, nzs, mat, pid, chans
+
     n_hit = jnp.sum(m.astype(jnp.int32))
 
     inf = jnp.float32(jnp.inf)
 
     def compacted(_):
-        (ridx,) = jnp.nonzero(m, size=cap, fill_value=n)
+        # cumsum-built pack index: identical to jnp.nonzero(size=cap,
+        # fill_value=n) but 1.6x faster at 8M rays (88 -> 55 ms/bounce
+        # measured) — XLA lowers nonzero through a sort, while this is one
+        # scan + one scatter
+        pos = jnp.cumsum(m.astype(jnp.int32)) - 1
+        slot = jnp.where(m & (pos < cap), pos, cap)
+        ridx = jnp.full((cap,), n, jnp.int32).at[slot].set(
+            jnp.arange(n, dtype=jnp.int32), mode="drop")
         g = jnp.clip(ridx, 0, n - 1)
         take = lambda a: jnp.take(a, g, mode="clip")
         oc = V3(take(o.x), take(o.y), take(o.z))

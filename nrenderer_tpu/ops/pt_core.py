@@ -107,7 +107,8 @@ def onb_local(normal: V3, vec: V3) -> V3:
 
 
 def closest_hit(ss: StaticScene, o: V3, d: V3, t_min: float, mat_channels,
-                tri_bvh=None, alive=None, with_uv: bool = False):
+                tri_bvh=None, alive=None, with_uv: bool = False,
+                mesh_cap: int = None):
     """Closest hit: unrolled constant-folded brute force, with the triangle
     pool optionally routed through a flattened BVH walk (`tri_bvh` =
     (FlatBVH, TrianglePack), used by the renderers when the mesh-expanded
@@ -154,7 +155,8 @@ def closest_hit(ss: StaticScene, o: V3, d: V3, t_min: float, mat_channels,
         assert not with_uv, "UVs not carried through the Pallas mesh sweep"
         from .mesh_pallas import intersect_triangles_mesh
         tb, nxb, nyb, nzb, matb, pidb, chb = intersect_triangles_mesh(
-            tri_bvh, o, d, t_min, hit.t, mat_channels, alive=alive)
+            tri_bvh, o, d, t_min, hit.t, mat_channels, alive=alive,
+            cap=mesh_cap)
     elif isinstance(tri_bvh, BlockedTris):
         out = _blocked_compacted(tri_bvh, o, d, t_min, hit.t,
                                  with_uv=with_uv)
@@ -234,7 +236,8 @@ def _blocked_compacted(bt, o: V3, d: V3, t_min: float, t_dense,
     nz0, nz1 = axis(mesh_min[2], mesh_max[2], o.z, d.z)
     t_near = jnp.maximum(jnp.maximum(nx0, ny0), nz0)
     t_far = jnp.minimum(jnp.minimum(nx1, ny1), nz1)
-    m = (t_near <= t_far) & (t_far >= t_min) & (t_near < t_dense)
+    m = ((t_near <= t_far) & (t_far >= t_min)
+         & (jnp.maximum(t_near, t_min) < t_dense))
 
     def unpack(out_flat, k):
         """flat tuple -> (t, nx, ny, nz, mat, pid, chans[, uv])"""
@@ -252,7 +255,12 @@ def _blocked_compacted(bt, o: V3, d: V3, t_min: float, t_dense,
     k_ch = bt.channels.shape[0]
 
     def compacted(_):
-        (idx,) = jnp.nonzero(m, size=cap, fill_value=n)
+        # cumsum pack == jnp.nonzero(size=cap, fill_value=n), 1.6x faster
+        # (see mesh_pallas.intersect_triangles_mesh)
+        pos = jnp.cumsum(m.astype(jnp.int32)) - 1
+        slot = jnp.where(m & (pos < cap), pos, cap)
+        idx = jnp.full((cap,), n, jnp.int32).at[slot].set(
+            jnp.arange(n, dtype=jnp.int32), mode="drop")
         gidx = jnp.clip(idx, 0, n - 1)
         take = lambda a: jnp.take(a, gidx, mode="clip")
         oc = V3(take(o.x), take(o.y), take(o.z))
@@ -558,7 +566,8 @@ def make_mat_channels(ss: StaticScene):
 
 def bsdf_bounce(ss: StaticScene, mat_ch, o: V3, d: V3, throughput: V3,
                 radiance: V3, alive, u1, u2, u3, t_min: float = 1e-6,
-                tri_bvh=None, with_miss: bool = False, textures=None
+                tri_bvh=None, with_miss: bool = False, textures=None,
+                mesh_cap: int = None
                 ) -> Tuple[V3, V3, V3, V3, jnp.ndarray]:
     """One bounce of the AccPathTracer estimator
     (`AccPathTracer.cpp:120-181`): closest hit, light hit, then branchless
@@ -567,7 +576,7 @@ def bsdf_bounce(ss: StaticScene, mat_ch, o: V3, d: V3, throughput: V3,
     `with_miss`: also return the env-candidate miss mask (see
     diffuse_bounce); `textures`: diffuseMap sampling (see diffuse_bounce)."""
     hit = closest_hit(ss, o, d, t_min, mat_ch, tri_bvh, alive=alive,
-                      with_uv=bool(textures))
+                      with_uv=bool(textures), mesh_cap=mesh_cap)
     t_l, light_rad = intersect_area_lights_unrolled(ss, o, d, t_min=t_min)
 
     obj_first = alive & hit.valid & (hit.t < t_l)

@@ -100,13 +100,50 @@ def trace_bsdf_wavefront(ss: StaticScene, o: V3, d: V3, key, depth: int,
 
 def build_render_fn(ss: StaticScene, width: int, height: int, spp: int,
                     depth: int, chunk: int, has_lens: bool, use_env: bool,
-                    use_bvh: bool = False, linear: bool = False) -> Callable:
+                    use_bvh: bool = False, linear: bool = False,
+                    staged: bool = False) -> Callable:
     """Compile a full-render function closed over the static scene.
     Returns fn(cam, env_map, key, tri_bvh) -> (H, W, 3), row 0 = BOTTOM.
     `tri_bvh` must be None iff use_bvh is False.  With `linear=True` the
     gamma is skipped and the LINEAR film SUM over `spp` samples is returned
-    as (n_pix, 3) — used for chunked/progressive accumulation."""
-    from ._wavefront import build_wavefront_fn
+    as (n_pix, 3) — used for chunked/progressive accumulation.  With
+    `staged=True` the wavefront compacts its whole ray state as rays die
+    (`_wavefront.build_staged_wavefront_fn`) — the mesh-path default on
+    TPU at depth >= 12, where per-bounce cost then tracks the alive count."""
+    from ._wavefront import build_staged_wavefront_fn, build_wavefront_fn
+
+    if staged:
+        mat_ch = make_mat_channels(ss)
+        t_min = scene_epsilon(ss, T_MIN_PT)
+
+        def bounce(o, d, thr, rad, alive, kb, env_map, tri_bvh, textures):
+            n = o.x.shape[0]
+            k1, k2, k3 = jax.random.split(kb, 3)
+            u1 = jax.random.uniform(k1, (n,))
+            u2 = jax.random.uniform(k2, (n,))
+            u3 = jax.random.uniform(k3, (n,))
+            if use_env:
+                o, d, thr, rad, alive, miss = bsdf_bounce(
+                    ss, mat_ch, o, d, thr, rad, alive, u1, u2, u3,
+                    t_min=t_min, tri_bvh=tri_bvh, with_miss=True,
+                    textures=textures)
+                env = sample_env_map_v3(env_map, d)
+                ew = miss.astype(o.x.dtype)
+                rad = V3(rad.x + ew * thr.x * env.x,
+                         rad.y + ew * thr.y * env.y,
+                         rad.z + ew * thr.z * env.z)
+            else:
+                o, d, thr, rad, alive = bsdf_bounce(
+                    ss, mat_ch, o, d, thr, rad, alive, u1, u2, u3,
+                    t_min=t_min, tri_bvh=tri_bvh, textures=textures)
+            return o, d, thr, rad, alive
+
+        def finish(thr, rad, alive):
+            return finish_ambient(ss, thr, rad, alive)
+
+        return build_staged_wavefront_fn(width, height, spp, chunk,
+                                         has_lens, bounce, finish, depth,
+                                         linear=linear)
 
     def trace(o, d, key, env_map, tri_bvh, textures):
         return trace_bsdf_wavefront(
@@ -248,6 +285,13 @@ class AccPathTracerRenderer(RenderComponent):
                 [img, np.ones((h, w, 1), np.float32)], axis=2)
             return RenderResult(pixels=rgba, width=w, height=h)
         use_bvh = n_tri > BVH_THRESHOLD
+        if use_bvh and jax.default_backend() not in ("cpu",):
+            # each sweep pallas_call costs ~28 ms FIXED on the axon backend
+            # (independent of grid size and kernel size; measured r3), and
+            # the bounce loop makes one per bounce — bigger spp chunks
+            # amortize it 4x (2M -> 8M-ray wavefronts, ~750 MB of carried
+            # state, well inside 16 GB HBM)
+            chunk = pick_chunk(w, h, spp, budget_rays=1 << 23)
         tri_bvh = None
         if use_bvh:
             # BVH-preorder blocked sweep over VMEM-resident triangles.  On
@@ -274,13 +318,21 @@ class AccPathTracerRenderer(RenderComponent):
             get_server().logger.log(
                 f"AccPathTracer: {mesh_engine} blocked-BVH sweep over "
                 f"{n_tri} triangles ({n_blocks} blocks of {blk})")
+        # staged wavefront (ray-state compaction as rays die): the default
+        # for deep mesh renders, where per-bounce cost then tracks the
+        # alive count (~1.7x less bounce work on bunny-5k depth 20);
+        # NR_STAGED=1 forces it on everywhere, =0 off
+        staged_env = os.environ.get("NR_STAGED", "auto")
+        staged = (staged_env == "1"
+                  or (staged_env == "auto" and use_bvh and depth >= 12
+                      and jax.default_backend() not in ("cpu",)))
         n_steps = spp // chunk
         if n_steps > 4:
             # chunked host loop: a single multi-minute XLA execution can
             # crash the TPU worker; one device call per chunk also gives
             # progressive Screen previews for free
             fn = get_render_fn(ss, w, h, chunk, depth, chunk, has_lens,
-                               use_env, use_bvh, True)
+                               use_env, use_bvh, True, staged)
             film = np.zeros((w * h, 3), np.float32)
             key = make_base_key(self.seed)
             for step in range(n_steps):
@@ -304,7 +356,7 @@ class AccPathTracerRenderer(RenderComponent):
                              timer.get("render-pass").total_s)
         else:
             fn = get_render_fn(ss, w, h, spp, depth, chunk, has_lens,
-                               use_env, use_bvh, False)
+                               use_env, use_bvh, False, staged)
             with timer.phase("render(+compile)"):
                 img = np.asarray(fn(cam, arrays.env_map,
                                     make_base_key(self.seed), tri_bvh,
