@@ -24,7 +24,17 @@ from __future__ import annotations
 from typing import NamedTuple, Tuple
 
 import numpy as np
+import jax
 import jax.numpy as jnp
+
+
+def _put(a) -> jnp.ndarray:
+    """Upload a ready numpy array as a plain transfer.  `jnp.asarray`
+    dispatches an eager convert_element_type whose executable is compiled
+    PER SHAPE through the remote-compile relay — for a fresh mesh size
+    that turns scene prep into minutes of tiny compiles; device_put of an
+    already-typed array never compiles."""
+    return jax.device_put(np.ascontiguousarray(a))
 
 
 class FlatBVH(NamedTuple):
@@ -99,8 +109,8 @@ def build_bvh(bb_min: np.ndarray, bb_max: np.ndarray, use_native: bool = True
 
 def flatten_bvh(bb_min: np.ndarray, bb_max: np.ndarray) -> FlatBVH:
     mn, mx, skip, prim = build_bvh(bb_min, bb_max)
-    return FlatBVH(bb_min=jnp.asarray(mn), bb_max=jnp.asarray(mx),
-                   skip=jnp.asarray(skip), prim=jnp.asarray(prim),
+    return FlatBVH(bb_min=_put(mn), bb_max=_put(mx),
+                   skip=_put(skip), prim=_put(prim),
                    n_nodes=int(prim.shape[0]))
 
 
@@ -135,7 +145,7 @@ def pack_triangles(scene_arrays, mat_channels) -> TrianglePack:
     chan_table = np.asarray(mat_channels, np.float32).reshape(-1, k)
     channels = chan_table[mat].T if k else np.zeros((0, mat.shape[0]),
                                                     np.float32)
-    f = jnp.asarray
+    f = _put
     return TrianglePack(
         v1x=f(v1[:, 0]), v1y=f(v1[:, 1]), v1z=f(v1[:, 2]),
         e1x=f(e1[:, 0]), e1y=f(e1[:, 1]), e1z=f(e1[:, 2]),
@@ -158,8 +168,8 @@ def build_triangle_bvh(scene_arrays) -> FlatBVH:
     idx = np.nonzero(valid)[0]
     mn, mx, skip, prim = build_bvh(bb_min[idx], bb_max[idx])
     prim = np.where(prim >= 0, idx[np.clip(prim, 0, len(idx) - 1)], -1)
-    return FlatBVH(bb_min=jnp.asarray(mn), bb_max=jnp.asarray(mx),
-                   skip=jnp.asarray(skip), prim=jnp.asarray(prim),
+    return FlatBVH(bb_min=_put(mn), bb_max=_put(mx),
+                   skip=_put(skip), prim=_put(prim),
                    n_nodes=int(prim.shape[0]))
 
 
@@ -349,7 +359,7 @@ def pack_blocked_triangles(scene_arrays, mat_channels,
         (0, t + pad), np.float32)
 
     def blk(arr):
-        return jnp.asarray(arr[order_p].reshape(n_blocks, block))
+        return _put(arr[order_p].reshape(n_blocks, block))
 
     v2p = v1 + e1
     v3p = v1 + e2
@@ -376,9 +386,9 @@ def pack_blocked_triangles(scene_arrays, mat_channels,
         e2x=blk(e2[:, 0]), e2y=blk(e2[:, 1]), e2z=blk(e2[:, 2]),
         nx=blk(nrm[:, 0]), ny=blk(nrm[:, 1]), nz=blk(nrm[:, 2]),
         mat=blk(mat.astype(np.float32)),
-        pid=jnp.asarray(pid.astype(np.float32).reshape(n_blocks, block)),
-        channels=jnp.asarray(channels.reshape(-1, n_blocks, block)),
-        bb_min=jnp.asarray(mn), bb_max=jnp.asarray(mx), **uv_kw)
+        pid=_put(pid.astype(np.float32).reshape(n_blocks, block)),
+        channels=_put(channels.reshape(-1, n_blocks, block)),
+        bb_min=_put(mn), bb_max=_put(mx), **uv_kw)
 
 
 class MeshAccel(NamedTuple):

@@ -357,9 +357,15 @@ def build_scene_arrays(scene: Scene, dtype=jnp.float32) -> SceneArrays:
         np.asarray(t.pixels, np.float64)[:, :, :3] if t.pixels is not None
         else np.zeros((1, 1, 3)) for t in scene.textures)
 
-    f = lambda x: jnp.asarray(x, dtype=dtype)
-    i32 = lambda x: jnp.asarray(x, dtype=jnp.int32)
-    b = lambda x: jnp.asarray(x, dtype=jnp.bool_)
+    # convert on HOST and device_put the result: jnp.asarray(host, dtype)
+    # dispatches an eager convert_element_type, and each new shape compiles
+    # a tiny executable through the remote-compile relay (~40 arrays x ~2 s
+    # = minutes of cold scene-prep for a new mesh size); device_put of a
+    # ready numpy array is a plain transfer, no compile
+    import jax as _jax
+    f = lambda x: _jax.device_put(np.asarray(x, dtype=np.dtype(dtype)))
+    i32 = lambda x: _jax.device_put(np.asarray(x, dtype=np.int32))
+    b = lambda x: _jax.device_put(np.asarray(x, dtype=np.bool_))
 
     return SceneArrays(
         sph_pos=f(sph_pos_a), sph_radius=f(sph_rad_a),
