@@ -92,18 +92,21 @@ def main() -> int:
     # conductor complex-Fresnel spheres; the scene ships no light, so the
     # interest is BSDF throughput, not image brightness)
     scene, arr, ss, cam = setup("conductors.scn")
+    cond_depth = 8 if backend == "cpu" else 20
     if backend == "cpu":
         from nrenderer_tpu.renderers.acc_pt import get_render_fn as acc_fn
         from nrenderer_tpu.renderers.simple_pt import pick_chunk
         from nrenderer_tpu.ops.sampling import make_base_key
         chunk = pick_chunk(size, size, spp)
-        fn = acc_fn(ss, size, size, spp, 8, chunk, False, False, False)
+        fn = acc_fn(ss, size, size, spp, cond_depth, chunk, False, False,
+                    False)
         dt, img = timed(lambda: fn(cam, arr.env_map, make_base_key(1), None,
                                    None))
     else:
-        dt, img = timed(render_bsdf_pt_pallas, ss, cam, size, size, spp, 20,
-                        seed=1)
-    rows.append(("AccPT conductors (Fresnel)", f"{size}x{size}, {spp} spp",
+        dt, img = timed(render_bsdf_pt_pallas, ss, cam, size, size, spp,
+                        cond_depth, seed=1)
+    rows.append(("AccPT conductors (Fresnel)",
+                 f"{size}x{size}, {spp} spp, depth {cond_depth}",
                  dt, f"{spp / dt:.0f} spp/s"))
 
     # 4. Bunny mesh (config 4) — smaller spp, extrapolable

@@ -137,6 +137,14 @@ def _render_multichip(args, scene) -> int:
               file=sys.stderr)
         return 2
     mesh = make_mesh(args.devices)
+    if args.shard == "pixels" and args.renderer != "SimplePathTracer":
+        # pixel-band decomposition is implemented for SimplePathTracer only;
+        # don't silently substitute a different decomposition for the one
+        # the user explicitly asked for
+        print(f"error: --shard pixels supports SimplePathTracer only "
+              f"(got {args.renderer}); use --shard samples",
+              file=sys.stderr)
+        return 2
     t0 = _time.perf_counter()
     if args.renderer == "MetropolisLightTransport":
         from .parallel.mlt import render_mlt_sharded

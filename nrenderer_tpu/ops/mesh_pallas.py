@@ -49,6 +49,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .bvh import BlockedTris, MeshAccel, TrianglePack
+from .compact import pack_indices
 from .soa import V3
 
 SUB_M = 32   # ray-tile height: SUB_M x 128 rays per grid program
@@ -408,14 +409,7 @@ def intersect_triangles_mesh(ma: MeshAccel, o: V3, d: V3, t_min: float,
     inf = jnp.float32(jnp.inf)
 
     def compacted(_):
-        # cumsum-built pack index: identical to jnp.nonzero(size=cap,
-        # fill_value=n) but 1.6x faster at 8M rays (88 -> 55 ms/bounce
-        # measured) — XLA lowers nonzero through a sort, while this is one
-        # scan + one scatter
-        pos = jnp.cumsum(m.astype(jnp.int32)) - 1
-        slot = jnp.where(m & (pos < cap), pos, cap)
-        ridx = jnp.full((cap,), n, jnp.int32).at[slot].set(
-            jnp.arange(n, dtype=jnp.int32), mode="drop")
+        ridx = pack_indices(m, cap)
         g = jnp.clip(ridx, 0, n - 1)
         take = lambda a: jnp.take(a, g, mode="clip")
         oc = V3(take(o.x), take(o.y), take(o.z))

@@ -21,6 +21,7 @@ import numpy as np
 from .intersect import (
     StaticScene, intersect_area_lights_unrolled, intersect_scene_unrolled,
 )
+from .compact import pack_indices
 from .soa import V3, cross3, dot3, normalize3, where3
 
 PI = 3.14159265358979323846
@@ -107,8 +108,7 @@ def onb_local(normal: V3, vec: V3) -> V3:
 
 
 def closest_hit(ss: StaticScene, o: V3, d: V3, t_min: float, mat_channels,
-                tri_bvh=None, alive=None, with_uv: bool = False,
-                mesh_cap: int = None):
+                tri_bvh=None, alive=None, with_uv: bool = False):
     """Closest hit: unrolled constant-folded brute force, with the triangle
     pool optionally routed through a flattened BVH walk (`tri_bvh` =
     (FlatBVH, TrianglePack), used by the renderers when the mesh-expanded
@@ -155,8 +155,7 @@ def closest_hit(ss: StaticScene, o: V3, d: V3, t_min: float, mat_channels,
         assert not with_uv, "UVs not carried through the Pallas mesh sweep"
         from .mesh_pallas import intersect_triangles_mesh
         tb, nxb, nyb, nzb, matb, pidb, chb = intersect_triangles_mesh(
-            tri_bvh, o, d, t_min, hit.t, mat_channels, alive=alive,
-            cap=mesh_cap)
+            tri_bvh, o, d, t_min, hit.t, mat_channels, alive=alive)
     elif isinstance(tri_bvh, BlockedTris):
         out = _blocked_compacted(tri_bvh, o, d, t_min, hit.t,
                                  with_uv=with_uv)
@@ -255,12 +254,7 @@ def _blocked_compacted(bt, o: V3, d: V3, t_min: float, t_dense,
     k_ch = bt.channels.shape[0]
 
     def compacted(_):
-        # cumsum pack == jnp.nonzero(size=cap, fill_value=n), 1.6x faster
-        # (see mesh_pallas.intersect_triangles_mesh)
-        pos = jnp.cumsum(m.astype(jnp.int32)) - 1
-        slot = jnp.where(m & (pos < cap), pos, cap)
-        idx = jnp.full((cap,), n, jnp.int32).at[slot].set(
-            jnp.arange(n, dtype=jnp.int32), mode="drop")
+        idx = pack_indices(m, cap)
         gidx = jnp.clip(idx, 0, n - 1)
         take = lambda a: jnp.take(a, gidx, mode="clip")
         oc = V3(take(o.x), take(o.y), take(o.z))
@@ -566,8 +560,7 @@ def make_mat_channels(ss: StaticScene):
 
 def bsdf_bounce(ss: StaticScene, mat_ch, o: V3, d: V3, throughput: V3,
                 radiance: V3, alive, u1, u2, u3, t_min: float = 1e-6,
-                tri_bvh=None, with_miss: bool = False, textures=None,
-                mesh_cap: int = None
+                tri_bvh=None, with_miss: bool = False, textures=None
                 ) -> Tuple[V3, V3, V3, V3, jnp.ndarray]:
     """One bounce of the AccPathTracer estimator
     (`AccPathTracer.cpp:120-181`): closest hit, light hit, then branchless
@@ -576,7 +569,7 @@ def bsdf_bounce(ss: StaticScene, mat_ch, o: V3, d: V3, throughput: V3,
     `with_miss`: also return the env-candidate miss mask (see
     diffuse_bounce); `textures`: diffuseMap sampling (see diffuse_bounce)."""
     hit = closest_hit(ss, o, d, t_min, mat_ch, tri_bvh, alive=alive,
-                      with_uv=bool(textures), mesh_cap=mesh_cap)
+                      with_uv=bool(textures))
     t_l, light_rad = intersect_area_lights_unrolled(ss, o, d, t_min=t_min)
 
     obj_first = alive & hit.valid & (hit.t < t_l)

@@ -481,6 +481,12 @@ def _render_gamma(ss, cam, width, height, spp, depth, seed, t_min, bsdf,
     """Shared driver: kernel (+ exact bounce-0 env pass) -> gamma'd image."""
     hs = _hashable_static_scene(ss)
     ct = _camera_tuple(cam)
+    if textures and mesh_accel is not None and mesh_accel.bt.tex is None:
+        # mesh pool without per-face UVs: the in-kernel sweep returns no
+        # (u, v, tex) carries, so texture resolution is impossible — drop
+        # the tables here (shared guard for every entry point) instead of
+        # tracing closest_hit(with_uv=True) into a 6-tuple unpack error
+        textures = None
     mesh_uv = bool(textures) and mesh_accel is not None \
         and mesh_accel.bt.tex is not None
     mesh_key, mesh_arrs = (None, ()) if mesh_accel is None \
@@ -540,6 +546,12 @@ def render_pt_pallas_linear(ss: StaticScene, cam, width: int, height: int,
         t_min = scene_epsilon(ss)
     hs = _hashable_static_scene(ss)
     ct = _camera_tuple(cam)
+    if textures and mesh_accel is not None and mesh_accel.bt.tex is None:
+        # mesh pool without per-face UVs: the in-kernel sweep returns no
+        # (u, v, tex) carries, so texture resolution is impossible — drop
+        # the tables here (shared guard for every entry point) instead of
+        # tracing closest_hit(with_uv=True) into a 6-tuple unpack error
+        textures = None
     mesh_uv = bool(textures) and mesh_accel is not None \
         and mesh_accel.bt.tex is not None
     mesh_key, mesh_arrs = (None, ()) if mesh_accel is None \

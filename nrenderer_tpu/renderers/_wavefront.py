@@ -15,6 +15,7 @@ import numpy as np
 
 from ..ops.camera import CameraParams, shoot_v3
 from ..ops.sampling import uniform_circle
+from ..ops.compact import pack_indices
 from ..ops.soa import V3, to_array
 
 
@@ -41,7 +42,7 @@ def build_staged_wavefront_fn(width: int, height: int, spp: int, chunk: int,
     static buffers at scheduled bounce boundaries, so the per-bounce cost
     tracks the alive count instead of the launch count.  On the bunny-5k
     depth-20 workload the alive fraction decays 100% -> 6.5% (measured);
-    the (0, 1)/(7, 2)/(14, 4) plan cuts total bounce work ~1.7x.
+    `stage_plan`'s 6/11/16 boundaries cut total bounce work ~1.7x.
 
     Unbiasedness: a stage buffer of n/k slots can overflow if more than
     n/k rays are alive at the boundary.  Overflow is resolved by russian
@@ -64,15 +65,7 @@ def build_staged_wavefront_fn(width: int, height: int, spp: int, chunk: int,
     n_pix = width * height
     n_rays = n_pix * chunk
     n_steps = spp // chunk
-    plan = [(b, k) for b, k in stage_plan(depth) if b < depth]
-    # merge stages whose boundary collides (tiny depths)
-    dedup = []
-    for b, k in plan:
-        if dedup and dedup[-1][0] == b:
-            dedup[-1] = (b, k)
-        else:
-            dedup.append((b, k))
-    plan = dedup
+    plan = stage_plan(depth)  # strictly increasing boundaries, all < depth
     jj = np.tile(np.tile(np.arange(width, dtype=np.float32), height), chunk)
     ii = np.tile(np.repeat(np.arange(height, dtype=np.float32), width), chunk)
 
@@ -137,12 +130,7 @@ def build_staged_wavefront_fn(width: int, height: int, spp: int, chunk: int,
                         jax.random.fold_in(k_path, 7000 + si), (n_cur,))
                     keep = alive & (u < q)
                     inv_q = 1.0 / q
-                    # cumsum pack == jnp.nonzero(size=cap), 1.6x faster
-                    # (see mesh_pallas.intersect_triangles_mesh)
-                    pos = jnp.cumsum(keep.astype(jnp.int32)) - 1
-                    slot = jnp.where(keep & (pos < cap), pos, cap)
-                    ridx = jnp.full((cap,), n_cur, jnp.int32).at[slot].set(
-                        jnp.arange(n_cur, dtype=jnp.int32), mode="drop")
+                    ridx = pack_indices(keep, cap)
                     slot_ok = ridx < n_cur
                     g = jnp.clip(ridx, 0, n_cur - 1)
                     take = lambda a: jnp.take(a, g, mode="clip")

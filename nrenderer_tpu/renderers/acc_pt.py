@@ -231,6 +231,8 @@ class AccPathTracerRenderer(RenderComponent):
                 ma = build_mesh_accel(arrays, make_mat_channels(ss))
             if textures and ma.bt.tex is None:
                 textures = None  # no per-face UVs made it into the pool
+                # (render_pt_pallas_linear also guards this; cleared here
+                # so the fallback XLA/log paths agree)
             n_blocks, blk = ma.bt.v1x.shape
             get_server().logger.log(
                 f"AccPathTracer: in-kernel Pallas mesh sweep over {n_tri} "
