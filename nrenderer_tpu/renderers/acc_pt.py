@@ -292,8 +292,9 @@ class AccPathTracerRenderer(RenderComponent):
             # (independent of grid size and kernel size; measured r3), and
             # the bounce loop makes one per bounce — bigger spp chunks
             # amortize it 4x (2M -> 8M-ray wavefronts, ~750 MB of carried
-            # state, well inside 16 GB HBM)
-            chunk = pick_chunk(w, h, spp, budget_rays=1 << 23)
+            # state, well inside 16 GB HBM).  NR_CHUNK_BUDGET_LOG2 tunes it.
+            budget = 1 << int(os.environ.get("NR_CHUNK_BUDGET_LOG2", "23"))
+            chunk = pick_chunk(w, h, spp, budget_rays=budget)
         tri_bvh = None
         if use_bvh:
             # BVH-preorder blocked sweep over VMEM-resident triangles.  On
