@@ -28,18 +28,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.camera import CameraParams, make_camera, shoot_v3
+from ..ops.camera import make_camera
 from ..ops.env import sample_env_map_v3
-from ..ops.intersect import (
-    T_MIN_PT, StaticScene, intersect_area_lights_unrolled,
-    intersect_scene_unrolled, make_static_scene,
-)
+from ..ops.intersect import T_MIN_PT, StaticScene, make_static_scene
 from ..ops.pt_core import (
     bsdf_bounce, finish_ambient, make_mat_channels, scene_epsilon,
 )
-from ..ops.sampling import make_base_key, uniform_circle
-from ..ops.soa import V3, to_array
-from ..scene.arrays import SceneArrays, build_scene_arrays
+from ..ops.sampling import make_base_key
+from ..ops.soa import V3
+from ..scene.arrays import build_scene_arrays
 from ..scene.model import Scene
 from ..server.component import RenderComponent, RenderResult
 from ..server.registry import get_server, register_renderer
