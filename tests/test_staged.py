@@ -51,3 +51,61 @@ def test_staged_stage_plan_boundaries():
     assert stage_plan(20) == [(0, 1), (6, 2), (11, 4), (16, 8)]
     assert stage_plan(8) == [(0, 1), (6, 2)]
     assert stage_plan(5) == [(0, 1)]
+
+
+def test_staged_env_map_matches_plain(resource_dir, monkeypatch):
+    """The staged bounce's env-miss branch (with_miss + env add) agrees
+    with the plain wavefront on an environment-lit scene."""
+    import numpy as np
+    from nrenderer_tpu.scene.model import AmbientType, Texture
+
+    def setup():
+        scene = load_scn(str(resource_dir / "env_map_spheres.scn"))
+        px = np.zeros((8, 16, 3), np.float32)
+        px[:4] = (0.2, 0.4, 1.0)   # sky
+        px[4:] = (0.3, 0.25, 0.2)  # ground
+        scene.ambient.environment_map = len(scene.textures)
+        scene.textures.append(Texture(name="env", pixels=px))
+        scene.ambient.type = AmbientType.ENVIRONMENT_MAP
+        ro = scene.render_option
+        ro.width = ro.height = 32
+        ro.samples_per_pixel = 32
+        ro.depth = 7  # crosses the first stage boundary (6)
+        return scene
+
+    monkeypatch.delenv("NR_STAGED", raising=False)
+    mgr = ComponentManager()
+    mgr.exec("AccPathTracer", setup())
+    plain = mgr.wait(timeout=600).pixels[..., :3]
+    monkeypatch.setenv("NR_STAGED", "1")
+    mgr = ComponentManager()
+    mgr.exec("AccPathTracer", setup())
+    staged = mgr.wait(timeout=600).pixels[..., :3]
+    assert np.isfinite(staged).all()
+    assert staged.max() > 0.05  # env light reaches the film
+    assert abs(staged.mean() - plain.mean()) < 0.03
+
+
+def test_staged_thin_lens_matches_plain(resource_dir, monkeypatch):
+    """Staged camera stage draws the same thin-lens distribution."""
+    import numpy as np
+
+    def setup():
+        scene = load_scn(str(resource_dir / "path_tracing_cornel.scn"))
+        scene.camera.aperture = 20.0
+        ro = scene.render_option
+        ro.width = ro.height = 32
+        ro.samples_per_pixel = 32
+        ro.depth = 7
+        return scene
+
+    monkeypatch.delenv("NR_STAGED", raising=False)
+    mgr = ComponentManager()
+    mgr.exec("AccPathTracer", setup())
+    plain = mgr.wait(timeout=600).pixels[..., :3]
+    monkeypatch.setenv("NR_STAGED", "1")
+    mgr = ComponentManager()
+    mgr.exec("AccPathTracer", setup())
+    staged = mgr.wait(timeout=600).pixels[..., :3]
+    assert np.isfinite(staged).all()
+    assert abs(staged.mean() - plain.mean()) < 0.02
