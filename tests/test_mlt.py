@@ -103,3 +103,29 @@ def test_registered_and_runs_via_manager(resource_dir):
              component=mlt_mod.MetropolisRenderer(chains=32, mutations=8))
     result = mgr.wait(timeout=600)
     assert result.pixels.shape == (16, 16, 4)
+
+
+@pytest.mark.slow
+def test_resolution_shares_compile(resource_dir):
+    """VERDICT r2 #3: two resolutions in the same film bucket reuse ONE
+    cached (b-estimate, init, block) pipeline — w/h are traced args, the
+    cache key carries only the bucket."""
+    from nrenderer_tpu.renderers.mlt import _MLT_FN_CACHE, render_mlt
+
+    def scene_at(w, h):
+        s = load_scn(str(resource_dir / "Metropolis.scn"))
+        s.render_option.width = w
+        s.render_option.height = h
+        s.render_option.depth = 4
+        return s
+
+    _MLT_FN_CACHE.clear()
+    a = render_mlt(scene_at(24, 24), chains=8, mutations=8, n_init=32,
+                   seed=0)
+    assert len(_MLT_FN_CACHE) == 1
+    # 30x20 = 600 pixels, same 1024-bucket as 24x24 = 576
+    b = render_mlt(scene_at(30, 20), chains=8, mutations=8, n_init=32,
+                   seed=0)
+    assert len(_MLT_FN_CACHE) == 1  # no second compile pipeline
+    assert a.shape == (24, 24, 4) and b.shape == (20, 30, 4)
+    assert np.isfinite(a).all() and np.isfinite(b).all()
