@@ -93,6 +93,10 @@ def _cmd_render(args) -> int:
         component = SimplePathTracerRenderer(
             seed=args.seed, checkpoint_path=args.checkpoint,
             progressive=True)
+    elif args.renderer == "AccPathTracer" and args.checkpoint:
+        from .renderers.acc_pt import AccPathTracerRenderer
+        component = AccPathTracerRenderer(
+            seed=args.seed, checkpoint_path=args.checkpoint)
 
     mgr = ComponentManager()
     t0 = time.perf_counter()

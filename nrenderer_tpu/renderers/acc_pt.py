@@ -169,8 +169,9 @@ def get_render_fn(ss: StaticScene, *shape_args) -> Callable:
     "Multi-BSDF (Lambertian/conductor/glass/microfacet) wavefront path "
     "tracing with BVH acceleration for meshes."))
 class AccPathTracerRenderer(RenderComponent):
-    def __init__(self, seed: int = 0):
+    def __init__(self, seed: int = 0, checkpoint_path: str = None):
         self.seed = seed
+        self.checkpoint_path = checkpoint_path
 
     def render(self, scene: Scene) -> RenderResult:
         # per-render phase stats (SURVEY §5.1), logged below
@@ -327,17 +328,36 @@ class AccPathTracerRenderer(RenderComponent):
                   or (staged_env == "auto" and use_bvh and depth >= 12
                       and jax.default_backend() not in ("cpu",)))
         n_steps = spp // chunk
-        if n_steps > 4:
+        if n_steps > 4 or (self.checkpoint_path and n_steps > 1):
             # chunked host loop: a single multi-minute XLA execution can
             # crash the TPU worker; one device call per chunk also gives
-            # progressive Screen previews for free
+            # progressive Screen previews for free, and (with a
+            # checkpoint_path) resumable renders — the per-step key is
+            # fold_in(base, step), so a resume reproduces the remaining
+            # steps exactly (SURVEY §5.4, same recipe as
+            # simple_pt.render_progressive)
             fn = get_render_fn(ss, w, h, chunk, depth, chunk, has_lens,
                                use_env, use_bvh, True, staged)
             film = np.zeros((w * h, 3), np.float32)
+            start = 0
+            fingerprint = None
+            if self.checkpoint_path:
+                from ..server.checkpoint import (
+                    load_checkpoint, save_checkpoint)
+                fingerprint = hashlib.sha1(repr(
+                    (ss, w, h, spp, depth, self.seed, chunk, use_bvh,
+                     staged)).encode()).hexdigest()
+                loaded = load_checkpoint(self.checkpoint_path, fingerprint)
+                if loaded is not None:
+                    film, spp_done = loaded
+                    start = spp_done // chunk
+                    get_server().logger.log(
+                        f"resumed at {spp_done}/{spp} spp from "
+                        f"{self.checkpoint_path}")
             key = make_base_key(self.seed)
-            for step in range(n_steps):
+            for step in range(start, n_steps):
                 # jit compiles on the first call: report it separately
-                with timer.phase("compile+first-pass" if step == 0
+                with timer.phase("compile+first-pass" if step == start
                                  else "render-pass"):
                     film += np.asarray(fn(cam, arrays.env_map,
                                           jax.random.fold_in(key, step),
@@ -350,10 +370,16 @@ class AccPathTracerRenderer(RenderComponent):
                         np.concatenate(
                             [img, np.ones((h, w, 1), np.float32)],
                             axis=2), w, h)
+                if self.checkpoint_path:
+                    save_checkpoint(self.checkpoint_path, film,
+                                    (step + 1) * chunk, w, h, self.seed,
+                                    fingerprint)
             img = np.sqrt(np.maximum(film / spp, 0.0)).reshape(h, w, 3)
             img = img[::-1]
             GLOBAL_TIMER.add("AccPathTracer.render",
-                             timer.get("render-pass").total_s)
+                             timer.get("render-pass").total_s
+                             if n_steps - start > 1 else
+                             timer.get("compile+first-pass").total_s)
         else:
             fn = get_render_fn(ss, w, h, spp, depth, chunk, has_lens,
                                use_env, use_bvh, False, staged)

@@ -71,3 +71,46 @@ def test_resume_is_exact(resource_dir, tmp_path):
     b = _render(resource_dir, tmp_path, spp=8, seed=5, ck=ck)  # full resume
     np.testing.assert_allclose(a, b, atol=1e-6)
     np.testing.assert_allclose(a, straight, atol=1e-5)
+
+
+def test_acc_checkpoint_resume_exact(resource_dir, tmp_path, monkeypatch):
+    """AccPathTracer checkpoint/resume (round 3): interrupting after two of
+    four passes and resuming yields the EXACT image of an uninterrupted
+    run (per-step keys are fold_in(base, step))."""
+    import nrenderer_tpu.renderers.acc_pt as acc
+    from nrenderer_tpu.server import checkpoint as ckmod
+
+    monkeypatch.setattr(acc, "pick_chunk", lambda *a, **k: 4)
+
+    def scene():
+        s = load_scn(str(resource_dir / "path_tracing_cornel.scn"))
+        s.render_option.width = 16
+        s.render_option.height = 16
+        s.render_option.samples_per_pixel = 16  # 4 steps of chunk 4
+        s.render_option.depth = 4
+        return s
+
+    ck_full = str(tmp_path / "full.npz")
+    full = acc.AccPathTracerRenderer(
+        seed=5, checkpoint_path=ck_full).render(scene()).pixels
+
+    # interrupted run: die after the second save
+    ck = str(tmp_path / "acc.npz")
+    saves = {"n": 0}
+    real_save = ckmod.save_checkpoint
+
+    def dying_save(*a, **k):
+        real_save(*a, **k)
+        saves["n"] += 1
+        if saves["n"] == 2:
+            raise KeyboardInterrupt
+
+    monkeypatch.setattr(ckmod, "save_checkpoint", dying_save)
+    with pytest.raises(KeyboardInterrupt):
+        acc.AccPathTracerRenderer(seed=5, checkpoint_path=ck).render(scene())
+    monkeypatch.setattr(ckmod, "save_checkpoint", real_save)
+    assert int(np.load(ck)["spp_done"]) == 8  # two of four passes persisted
+
+    resumed = acc.AccPathTracerRenderer(
+        seed=5, checkpoint_path=ck).render(scene()).pixels
+    np.testing.assert_allclose(resumed, full, rtol=1e-5, atol=1e-6)
