@@ -250,9 +250,12 @@ def main(argv=None) -> int:
     pr.add_argument("--env-map", help="environment map image")
     pr.add_argument("--seed", type=int, default=0)
     pr.add_argument("--progressive", action="store_true",
-                    help="render in passes with live Screen previews")
+                    help="render in passes with live Screen previews "
+                         "(SimplePathTracer; AccPathTracer previews "
+                         "automatically whenever the render is chunked)")
     pr.add_argument("--checkpoint",
-                    help="checkpoint file for resumable rendering")
+                    help="checkpoint file for resumable rendering "
+                         "(SimplePathTracer / AccPathTracer)")
     pr.add_argument("--devices", type=int, default=1,
                     help="shard over N devices: sample budget for "
                          "SimplePathTracer/AccPathTracer, Markov chains "
