@@ -79,6 +79,10 @@ def _cmd_render(args) -> int:
 
     if args.devices > 1 and args.renderer in (
             "SimplePathTracer", "AccPathTracer", "MetropolisLightTransport"):
+        if args.checkpoint:
+            print("warning: --checkpoint is single-device only; the "
+                  "multichip path renders in one sharded step and will "
+                  "ignore it", file=sys.stderr)
         return _render_multichip(args, scene)
 
     component = None
@@ -255,7 +259,8 @@ def main(argv=None) -> int:
                          "automatically whenever the render is chunked)")
     pr.add_argument("--checkpoint",
                     help="checkpoint file for resumable rendering "
-                         "(SimplePathTracer / AccPathTracer)")
+                         "(SimplePathTracer / AccPathTracer, every "
+                         "engine; single-device only)")
     pr.add_argument("--devices", type=int, default=1,
                     help="shard over N devices: sample budget for "
                          "SimplePathTracer/AccPathTracer, Markov chains "

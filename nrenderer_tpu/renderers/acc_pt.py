@@ -164,6 +164,48 @@ def get_render_fn(ss: StaticScene, *shape_args) -> Callable:
     return fn
 
 
+def _progressive_loop(checkpoint_path, seed, timer, w, h, spp, pcall,
+                      render_step, fp_parts, fp_arrays):
+    """Shared chunked host loop for the Pallas engines: one kernel launch
+    per `pcall` spp, progressive Screen previews, and checkpoint/resume
+    (SURVEY §5.4) — so --checkpoint works on EVERY AccPathTracer engine,
+    not just the chunked XLA wavefront (review r3).
+
+    `render_step(step) -> (n_pix, 3)` linear film SUM over pcall samples;
+    steps index disjoint PRNG streams so a resume reproduces the remaining
+    steps exactly.  Returns (gamma image, start_step, n_steps)."""
+    from ..server.checkpoint import (
+        load_checkpoint, render_fingerprint, save_checkpoint)
+    film = np.zeros((w * h, 3), np.float32)
+    start = 0
+    fingerprint = None
+    if checkpoint_path:
+        fingerprint = render_fingerprint(fp_parts, arrays=fp_arrays)
+        loaded = load_checkpoint(checkpoint_path, fingerprint)
+        if loaded is not None:
+            film, spp_done = loaded
+            start = spp_done // pcall
+            get_server().logger.log(
+                f"resumed at {spp_done}/{spp} spp from {checkpoint_path}")
+    n_steps = spp // pcall
+    for step in range(start, n_steps):
+        with timer.phase("compile+first-pass" if step == start
+                         else "render-pass"):
+            film += np.asarray(render_step(step))
+        with timer.phase("host-preview"):
+            done = (step + 1) * pcall
+            img = np.sqrt(np.maximum(film / done, 0.0))
+            img = img.reshape(h, w, 3)[::-1]
+            get_server().screen.set(
+                np.concatenate([img, np.ones((h, w, 1), np.float32)],
+                               axis=2), w, h)
+        if checkpoint_path:
+            save_checkpoint(checkpoint_path, film, (step + 1) * pcall,
+                            w, h, seed, fingerprint)
+    img = np.sqrt(np.maximum(film / spp, 0.0)).reshape(h, w, 3)
+    return np.clip(img[::-1], 0.0, 1.0), start, n_steps
+
+
 @register_renderer("AccPathTracer", description=(
     "An accelerated path tracer.\n"
     "Multi-BSDF (Lambertian/conductor/glass/microfacet) wavefront path "
@@ -240,29 +282,52 @@ class AccPathTracerRenderer(RenderComponent):
                 if spp % k == 0 and k <= spp:
                     pcall = k
                     break
-            film = np.zeros((w * h, 3), np.float32)
-            for step in range(spp // pcall):
-                with timer.phase("compile+first-pass" if step == 0
-                                 else "render-pass"):
-                    film += np.asarray(render_pt_pallas_linear(
-                        ss, cam, w, h, pcall, depth, bsdf=True,
-                        seed=self.seed * 100003 + step, mesh_accel=ma,
-                        textures=textures))
-                with timer.phase("host-preview"):
-                    done = (step + 1) * pcall
-                    img = np.sqrt(np.maximum(film / done, 0.0))
-                    img = img.reshape(h, w, 3)[::-1]
-                    get_server().screen.set(
-                        np.concatenate(
-                            [img, np.ones((h, w, 1), np.float32)],
-                            axis=2), w, h)
-            img = np.sqrt(np.maximum(film / spp, 0.0)).reshape(h, w, 3)
-            img = np.clip(img[::-1], 0.0, 1.0)
+            from ..server.checkpoint import camera_key
+            img, start, n_steps = _progressive_loop(
+                self.checkpoint_path, self.seed, timer, w, h, spp, pcall,
+                lambda step: render_pt_pallas_linear(
+                    ss, cam, w, h, pcall, depth, bsdf=True,
+                    seed=self.seed * 100003 + step, mesh_accel=ma,
+                    textures=textures),
+                (ss, camera_key(cam), w, h, spp, depth, self.seed, pcall,
+                 "megamesh"),
+                tuple(textures or ()))
             GLOBAL_TIMER.add(
                 "AccPathTracer.render",
                 timer.get("render-pass").total_s
-                if spp // pcall > 1 else
+                if n_steps - start > 1 else
                 timer.get("compile+first-pass").total_s)
+            get_server().logger.log("phases: " + timer.summary())
+            get_server().logger.log("Done...")
+            rgba = np.concatenate(
+                [img, np.ones((h, w, 1), np.float32)], axis=2)
+            return RenderResult(pixels=rgba, width=w, height=h)
+        if use_pallas and self.checkpoint_path and spp > 1:
+            # resumable variant of the megakernel path: the in-kernel spp
+            # loop is split over ~8 host launches so the linear film can be
+            # snapshotted between them (without a checkpoint the single
+            # full-spp launch below stays fastest)
+            from ..ops.pt_pallas import render_pt_pallas_linear
+            from ..server.checkpoint import camera_key
+            pcall = 1
+            for k in range(1, spp + 1):
+                if spp % k == 0 and k <= max(spp // 8, 1):
+                    pcall = k
+            env = arrays.env_map if use_env else None
+            img, start, n_steps = _progressive_loop(
+                self.checkpoint_path, self.seed, timer, w, h, spp, pcall,
+                lambda step: render_pt_pallas_linear(
+                    ss, cam, w, h, pcall, depth, bsdf=True,
+                    seed=self.seed * 100003 + step, env_map=env,
+                    textures=textures),
+                (ss, camera_key(cam), w, h, spp, depth, self.seed, pcall,
+                 "pallas", use_env),
+                ((np.asarray(arrays.env_map),) if use_env else ())
+                + tuple(textures or ()))
+            GLOBAL_TIMER.add("AccPathTracer.render",
+                             timer.get("render-pass").total_s
+                             if n_steps - start > 1 else
+                             timer.get("compile+first-pass").total_s)
             get_server().logger.log("phases: " + timer.summary())
             get_server().logger.log("Done...")
             rgba = np.concatenate(
@@ -336,51 +401,28 @@ class AccPathTracerRenderer(RenderComponent):
             # fold_in(base, step), so a resume reproduces the remaining
             # steps exactly (SURVEY §5.4, same recipe as
             # simple_pt.render_progressive)
+            from ..server.checkpoint import camera_key
             fn = get_render_fn(ss, w, h, chunk, depth, chunk, has_lens,
                                use_env, use_bvh, True, staged)
-            film = np.zeros((w * h, 3), np.float32)
-            start = 0
-            fingerprint = None
-            if self.checkpoint_path:
-                from ..server.checkpoint import (
-                    load_checkpoint, save_checkpoint)
-                fingerprint = hashlib.sha1(repr(
-                    (ss, w, h, spp, depth, self.seed, chunk, use_bvh,
-                     staged)).encode()).hexdigest()
-                loaded = load_checkpoint(self.checkpoint_path, fingerprint)
-                if loaded is not None:
-                    film, spp_done = loaded
-                    start = spp_done // chunk
-                    get_server().logger.log(
-                        f"resumed at {spp_done}/{spp} spp from "
-                        f"{self.checkpoint_path}")
             key = make_base_key(self.seed)
-            for step in range(start, n_steps):
-                # jit compiles on the first call: report it separately
-                with timer.phase("compile+first-pass" if step == start
-                                 else "render-pass"):
-                    film += np.asarray(fn(cam, arrays.env_map,
-                                          jax.random.fold_in(key, step),
-                                          tri_bvh, textures))
-                with timer.phase("host-preview"):
-                    done = (step + 1) * chunk
-                    img = np.sqrt(np.maximum(film / done, 0.0))
-                    img = img.reshape(h, w, 3)[::-1]
-                    get_server().screen.set(
-                        np.concatenate(
-                            [img, np.ones((h, w, 1), np.float32)],
-                            axis=2), w, h)
-                if self.checkpoint_path:
-                    save_checkpoint(self.checkpoint_path, film,
-                                    (step + 1) * chunk, w, h, self.seed,
-                                    fingerprint)
-            img = np.sqrt(np.maximum(film / spp, 0.0)).reshape(h, w, 3)
-            img = img[::-1]
+            img, start, _ = _progressive_loop(
+                self.checkpoint_path, self.seed, timer, w, h, spp, chunk,
+                lambda step: fn(cam, arrays.env_map,
+                                jax.random.fold_in(key, step),
+                                tri_bvh, textures),
+                (ss, camera_key(cam), w, h, spp, depth, self.seed,
+                 chunk, use_bvh, staged, has_lens, use_env),
+                ((np.asarray(arrays.env_map),) if use_env else ())
+                + tuple(textures or ()))
             GLOBAL_TIMER.add("AccPathTracer.render",
                              timer.get("render-pass").total_s
                              if n_steps - start > 1 else
                              timer.get("compile+first-pass").total_s)
         else:
+            if self.checkpoint_path:
+                get_server().logger.warning(
+                    f"--checkpoint: render fits a single pass "
+                    f"({spp} spp, chunk {chunk}); nothing to snapshot")
             fn = get_render_fn(ss, w, h, spp, depth, chunk, has_lens,
                                use_env, use_bvh, False, staged)
             with timer.phase("render(+compile)"):

@@ -165,12 +165,20 @@ def render_progressive(scene_arrays, ss: StaticScene, cam, width, height,
     The reference posts the film exactly once at the end (SURVEY.md §5.5 "no
     progressive preview"); here each pass updates the shared Screen and can
     snapshot the linear film so an interrupted render resumes (§5.4)."""
-    from ..server.checkpoint import load_checkpoint, save_checkpoint
+    from ..server.checkpoint import (
+        camera_key, load_checkpoint, render_fingerprint, save_checkpoint)
 
     chunk = pick_chunk(width, height, spp)
     n_steps = spp // chunk
-    fingerprint = hashlib.sha1(repr(
-        (ss, width, height, spp, depth, seed, chunk)).encode()).hexdigest()
+    textures = scene_arrays.textures if ss.tri_uv else None
+    # the fingerprint must cover everything that changes the estimator —
+    # including the CAMERA and the env/texture pixels (review r3: omitting
+    # them let a resume after `--camera-position` blend two viewpoints)
+    fingerprint = render_fingerprint(
+        (ss, camera_key(cam), width, height, spp, depth, seed, chunk,
+         has_lens, use_env),
+        arrays=((np.asarray(scene_arrays.env_map),) if use_env else ())
+        + tuple(textures or ()))
     film = np.zeros((width * height, 3), np.float32)
     start = 0
     if checkpoint_path:
@@ -181,7 +189,6 @@ def render_progressive(scene_arrays, ss: StaticScene, cam, width, height,
             get_server().logger.log(
                 f"resumed at {spp_done}/{spp} spp from {checkpoint_path}")
 
-    textures = scene_arrays.textures if ss.tri_uv else None
     use_pallas = (jax.default_backend() not in ("cpu",)
                   and not has_lens
                   and (not textures

@@ -18,6 +18,34 @@ from typing import Optional, Tuple
 import numpy as np
 
 
+def render_fingerprint(parts, arrays=()) -> str:
+    """Resume-compatibility fingerprint shared by every checkpointing
+    renderer (review r3: two hand-rolled copies had diverged, and both
+    omitted the camera).
+
+    `parts`: static render config — StaticScene, the camera basis as plain
+    floats, film shape, spp/depth/seed/chunking, engine choices.  Everything
+    that changes the film estimator MUST be in here, or a resume after
+    changing it silently blends two different renders into one film.
+    `arrays`: pixel payloads (env map, texture images) — content-bearing but
+    too large for repr, so their raw bytes are hashed.
+    """
+    import hashlib
+    h = hashlib.sha1(repr(parts).encode())
+    for a in arrays:
+        a = np.asarray(a)
+        h.update(repr((a.shape, str(a.dtype))).encode())
+        h.update(a.tobytes())
+    return h.hexdigest()
+
+
+def camera_key(cam) -> tuple:
+    """CameraParams -> nested tuple of plain floats for render_fingerprint
+    (device-array reprs are backend-dependent; float tuples are not)."""
+    return tuple(tuple(np.asarray(x, np.float64).ravel().tolist())
+                 for x in cam)
+
+
 def save_checkpoint(path: str, film: np.ndarray, spp_done: int, width: int,
                     height: int, seed: int, fingerprint: str) -> None:
     tmp = path + ".tmp"

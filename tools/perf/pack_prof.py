@@ -76,13 +76,6 @@ def pipe_cumsum_stacked(c, m, *cols):
     return c + outs[0, 0] * 0
 
 
-def pipe_scatteridx_stacked(c, m, *cols):
-    """scatter-built ridx like cumsum variant, but direct slot-scatter of
-    the VALUES too (skip building ridx for the gather: gather by ridx is
-    still needed for the sweep inputs, so keep it)."""
-    return pipe_cumsum_stacked(c, m, *cols)
-
-
 timeit("A nonzero pack (current)", scanned(pipe_nonzero),
        jnp.float32(0), m, *cols)
 timeit("B cumsum pack", scanned(pipe_cumsum), jnp.float32(0), m, *cols)

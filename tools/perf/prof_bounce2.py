@@ -71,14 +71,6 @@ def dense_only(c, o, d):
     return c + hit.t[0] * 0
 
 
-def dense_plus_mesh(c, o, d, alive):
-    o2 = V3(o.x + c, o.y, o.z)
-    t, nx, ny, nz, mat, pid, ch = closest_hit(
-        ss, o2, d, t_min, mat_ch, tri_bvh=ma, alive=alive), None
-    # closest_hit returns HitUnrolled-like; just consume a field
-    return c + 0.0
-
-
 def ch_full(c, o, d, alive):
     o2 = V3(o.x + c, o.y, o.z)
     hit = closest_hit(ss, o2, d, t_min, mat_ch, tri_bvh=ma, alive=alive)
