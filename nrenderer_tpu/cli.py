@@ -145,12 +145,18 @@ def _render_multichip(args, scene) -> int:
               file=sys.stderr)
         return 2
     mesh = make_mesh(args.devices)
-    if args.shard == "pixels" and args.renderer != "SimplePathTracer":
-        # pixel-band decomposition is implemented for SimplePathTracer only;
-        # don't silently substitute a different decomposition for the one
-        # the user explicitly asked for
-        print(f"error: --shard pixels supports SimplePathTracer only "
-              f"(got {args.renderer}); use --shard samples",
+    if args.shard == "pixels" and args.renderer not in (
+            "SimplePathTracer", "AccPathTracer"):
+        # pixel-band decomposition needs a per-pixel estimator; MLT splats
+        # across the whole film, so don't silently substitute a different
+        # decomposition for the one the user explicitly asked for
+        print(f"error: --shard pixels supports SimplePathTracer / "
+              f"AccPathTracer only (got {args.renderer}); "
+              f"use --shard samples", file=sys.stderr)
+        return 2
+    if args.shard == "pixels" and args.height % args.devices:
+        print(f"error: --shard pixels needs height divisible by "
+              f"--devices ({args.height} % {args.devices} != 0)",
               file=sys.stderr)
         return 2
     t0 = _time.perf_counter()
@@ -188,18 +194,23 @@ def _render_multichip(args, scene) -> int:
                 from .ops.bvh import build_mesh_accel
                 tri_bvh = build_mesh_accel(arrays, make_mat_channels(ss))
         env_map = arrays.env_map if ss.ambient_type == 1 else None
-        img = np.asarray(render_multichip_acc(
-            ss, cam, args.width, args.height, args.spp, args.depth,
-            mesh=mesh, seed=args.seed, tri_bvh=tri_bvh,
-            env_map=env_map, textures=textures))[::-1]
+        if args.shard == "pixels":
+            import jax.numpy as jnp
+            from .parallel.mesh import build_sharded_render_acc_pixels
+            fn = build_sharded_render_acc_pixels(
+                ss, args.width, args.height, args.spp, args.depth, mesh,
+                tri_bvh=tri_bvh, env_map=env_map, textures=textures)
+            seeds = jnp.arange(args.seed, args.seed + args.devices,
+                               dtype=jnp.int32)
+            img = np.asarray(fn(cam, seeds))[::-1]
+        else:
+            img = np.asarray(render_multichip_acc(
+                ss, cam, args.width, args.height, args.spp, args.depth,
+                mesh=mesh, seed=args.seed, tri_bvh=tri_bvh,
+                env_map=env_map, textures=textures))[::-1]
     elif args.shard == "pixels":
         import jax.numpy as jnp
         from .parallel.mesh import build_sharded_render_pixels
-        if args.height % args.devices:
-            print(f"error: --shard pixels needs height divisible by "
-                  f"--devices ({args.height} % {args.devices} != 0)",
-                  file=sys.stderr)
-            return 2
         fn = build_sharded_render_pixels(ss, args.width, args.height,
                                          args.spp, args.depth, mesh)
         seeds = jnp.arange(args.seed, args.seed + args.devices,

@@ -179,6 +179,24 @@ def build_sharded_render_pixels(ss: StaticScene, width: int, height: int,
     return _build_sharded_film_pixels(trace, width, height, spp, mesh, chunk)
 
 
+def build_sharded_render_acc_pixels(ss: StaticScene, width: int,
+                                    height: int, spp: int, depth: int,
+                                    mesh: Mesh, chunk: int = 1,
+                                    tri_bvh=None, env_map=None,
+                                    textures=None) -> Callable:
+    """Pixel-sharded AccPathTracer (4-BSDF) render over `mesh`: each device
+    owns a horizontal film band at the full spp budget, no collective
+    (see `_build_sharded_film_pixels`).  Scene acceleration structures are
+    replicated constants, same as the sample-sharded variant."""
+    from ..renderers.acc_pt import trace_bsdf_wavefront
+
+    def trace(o, d, key):
+        return trace_bsdf_wavefront(ss, o, d, key, depth, env_map=env_map,
+                                    tri_bvh=tri_bvh, textures=textures)
+
+    return _build_sharded_film_pixels(trace, width, height, spp, mesh, chunk)
+
+
 def build_sharded_render_acc(ss: StaticScene, width: int, height: int,
                              spp: int, depth: int, mesh: Mesh,
                              chunk: int = 1, tri_bvh=None,

@@ -243,3 +243,39 @@ def test_sharded_acc_textured_mesh(tmp_path):
         ss, cam, 32, 32, 16, 3, mesh=make_mesh(1), seed=9, tri_bvh=bt,
         textures=arr.textures))
     assert abs(img8.mean() - img1.mean()) < 0.08
+
+
+def test_acc_pixel_sharded_matches_single_device_exact(resource_dir):
+    """AccPathTracer pixel-axis sharding (round 3): band k of the 8-device
+    4-BSDF render is bit-identical to a single-device render of the same
+    band with the same seed — same contract as the SimplePathTracer
+    variant, through the glass/conductor bounce physics."""
+    from nrenderer_tpu.ops.sampling import make_base_key
+    from nrenderer_tpu.parallel.mesh import (
+        _linear_film, build_sharded_render_acc_pixels)
+    from nrenderer_tpu.renderers.acc_pt import trace_bsdf_wavefront
+
+    scene = load_scn(str(resource_dir / "pt_glass.scn"))
+    arr = build_scene_arrays(scene)
+    ss = make_static_scene(arr)
+    cam = make_camera(scene.camera)
+    w, h, spp, depth = 16, 16, 4, 3
+    mesh = make_mesh(8)
+    fn = build_sharded_render_acc_pixels(ss, w, h, spp, depth, mesh)
+    seeds = jnp.arange(8, dtype=jnp.int32)
+    img8 = np.asarray(fn(cam, seeds))
+    assert img8.shape == (h, w, 3)
+    assert np.isfinite(img8).all()
+    assert img8.max() > 0
+
+    h_loc = h // 8
+    trace = lambda o, d, key: trace_bsdf_wavefront(ss, o, d, key, depth)
+    for k in range(8):
+        key = jax.random.fold_in(make_base_key(0), seeds[k])
+        band = _linear_film(trace, cam, w, h, spp, 1, key,
+                            row0=float(k * h_loc), rows=h_loc)
+        band = np.sqrt(np.maximum(np.asarray(band) / spp, 0.0))
+        band = band.reshape(h_loc, w, 3)
+        np.testing.assert_array_equal(
+            img8[k * h_loc:(k + 1) * h_loc], band,
+            err_msg=f"band {k} differs from single-device render")
