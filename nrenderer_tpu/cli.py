@@ -86,11 +86,12 @@ def _cmd_render(args) -> int:
         return _render_multichip(args, scene)
 
     component = None
-    if args.renderer == "MetropolisLightTransport" and (args.chains
-                                                        or args.mutations):
+    if args.renderer == "MetropolisLightTransport" and (
+            args.chains or args.mutations or args.checkpoint):
         from .renderers.mlt import MetropolisRenderer
         component = MetropolisRenderer(seed=args.seed, chains=args.chains,
-                                       mutations=args.mutations)
+                                       mutations=args.mutations,
+                                       checkpoint_path=args.checkpoint)
     elif args.renderer == "SimplePathTracer" and (args.progressive
                                                   or args.checkpoint):
         from .renderers.simple_pt import SimplePathTracerRenderer
@@ -270,8 +271,8 @@ def main(argv=None) -> int:
                          "automatically whenever the render is chunked)")
     pr.add_argument("--checkpoint",
                     help="checkpoint file for resumable rendering "
-                         "(SimplePathTracer / AccPathTracer, every "
-                         "engine; single-device only)")
+                         "(SimplePathTracer / AccPathTracer / "
+                         "MetropolisLightTransport; single-device only)")
     pr.add_argument("--devices", type=int, default=1,
                     help="shard over N devices: sample budget for "
                          "SimplePathTracer/AccPathTracer, Markov chains "

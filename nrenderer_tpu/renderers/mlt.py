@@ -689,9 +689,15 @@ def film_bucket(n_pix: int) -> int:
 
 def render_mlt(scene: Scene, chains: int = 1024, mutations: int = 256,
                n_init: int = 10000, seed: int = 0,
-               max_path: int = None) -> np.ndarray:
+               max_path: int = None, checkpoint_path: str = None
+               ) -> np.ndarray:
     """Full MLT render; returns (H, W, 4) float RGBA, row 0 = TOP (the MLT
-    reference never flips its film)."""
+    reference never flips its film).
+
+    `checkpoint_path`: snapshot the full chain carry (film + PSS states +
+    Kelemen weights) + the brightness estimate after every mutation block,
+    so an interrupted render resumes EXACTLY (block i re-keys with
+    fold_in(k_loop, i) either way) — SURVEY §5.4 for the flagship renderer."""
     prep = _prepare_mlt(scene, max_path)
     if prep is None:
         ro = scene.render_option
@@ -715,10 +721,15 @@ def render_mlt(scene: Scene, chains: int = 1024, mutations: int = 256,
     cache_key = hashlib.sha1(repr(
         (ss, camera, max_path, emitted, light_pos, light_u,
          light_v, chains, n_init, block, cap)).encode()).hexdigest()
+    # resume-compat fingerprint: the compile key (scene content, depth,
+    # chains, block, bucket) + everything else that shapes the estimator
+    ck_fp = hashlib.sha1(repr(
+        (cache_key, width, height, chains, mutations, block, seed)
+    ).encode()).hexdigest()
     cached = _MLT_FN_CACHE.get(cache_key)
     if cached is not None:
         return _finish_mlt(*cached, key, width, height, chains, mutations,
-                           block)
+                           block, checkpoint_path, ck_fp)
 
     @jax.jit
     def estimate_b(key, wh):
@@ -813,39 +824,94 @@ def render_mlt(scene: Scene, chains: int = 1024, mutations: int = 256,
     _MLT_FN_CACHE[cache_key] = (estimate_b, init_chains, run_block,
                                 flush_film)
     return _finish_mlt(estimate_b, init_chains, run_block, flush_film, key,
-                       width, height, chains, mutations, block)
+                       width, height, chains, mutations, block,
+                       checkpoint_path, ck_fp)
 
 
 _MLT_FN_CACHE: Dict[str, tuple] = {}
 
 
+def _save_mlt_checkpoint(path: str, carry, b: float, blocks_done: int,
+                         fingerprint: str) -> None:
+    """Atomic snapshot of the full chain carry (pytree leaves in
+    tree-flatten order) + the brightness estimate."""
+    import os
+    import jax
+    leaves = jax.tree_util.tree_leaves(carry)
+    tmp = path + ".tmp"
+    np.savez(tmp, b=np.float64(b), blocks_done=np.int64(blocks_done),
+             fingerprint=np.bytes_(fingerprint.encode()),
+             **{f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)})
+    os.replace(tmp if tmp.endswith(".npz") else tmp + ".npz", path)
+
+
+def _load_mlt_checkpoint(path: str, fingerprint: str, treedef, n_leaves):
+    """Returns (carry, b, blocks_done) if `path` holds a matching snapshot,
+    None otherwise (missing / unreadable / different fingerprint)."""
+    import os
+    import jax
+    import jax.numpy as _jnp
+    if not path or not os.path.exists(path):
+        return None
+    try:
+        data = np.load(path)
+    except (OSError, ValueError):
+        return None
+    if bytes(data["fingerprint"]).decode(errors="replace") != fingerprint:
+        return None
+    leaves = [_jnp.asarray(data[f"leaf_{i}"]) for i in range(n_leaves)]
+    carry = jax.tree_util.tree_unflatten(treedef, leaves)
+    return carry, float(data["b"]), int(data["blocks_done"])
+
+
 def _finish_mlt(estimate_b, init_chains, run_block, flush_film, key, width,
-                height, chains, mutations, block) -> np.ndarray:
+                height, chains, mutations, block, checkpoint_path=None,
+                fingerprint=None) -> np.ndarray:
     import os
     import time as _time
     from ..utils.timing import GLOBAL_TIMER, PhaseTimer
+    import jax as _jax
     debug = os.environ.get("NR_MLT_DEBUG") == "1"
     timer = PhaseTimer()
     # resolution enters ONLY as these traced scalars (+ the slice below)
     wh = (jnp.float32(width), jnp.float32(height))
-    with timer.phase("b-estimate"):
-        b = float(estimate_b(key, wh))
-    if debug:
-        print(f"MLT: b-phase {timer.get('b-estimate').total_s:.1f}s",
-              flush=True)
-    if not np.isfinite(b) or b <= 0:
-        get_server().logger.warning("MLT: brightness estimate b <= 0")
-        return np.zeros((height, width, 4), np.float32)
-    get_server().logger.log(f"MLT: b = {b:.6g}")
-
-    import jax as _jax
     k_init, k_loop = _jax.random.split(key)
-    with timer.phase("chain-init"):
-        carry = init_chains(k_init, wh)
+
+    loaded = None
+    if checkpoint_path:
+        # the carry's pytree structure, without running the init
+        shapes = _jax.eval_shape(init_chains, k_init, wh)
+        treedef = _jax.tree_util.tree_structure(shapes)
+        loaded = _load_mlt_checkpoint(checkpoint_path, fingerprint, treedef,
+                                      treedef.num_leaves)
+    if loaded is not None:
+        carry, b, start = loaded
+        get_server().logger.log(
+            f"MLT: resumed at block {start}/{max(1, mutations // block)} "
+            f"(b = {b:.6g}) from {checkpoint_path}")
+    else:
+        start = 0
+        with timer.phase("b-estimate"):
+            b = float(estimate_b(key, wh))
+        if debug:
+            print(f"MLT: b-phase {timer.get('b-estimate').total_s:.1f}s",
+                  flush=True)
+        if not np.isfinite(b) or b <= 0:
+            get_server().logger.warning("MLT: brightness estimate b <= 0")
+            return np.zeros((height, width, 4), np.float32)
+        get_server().logger.log(f"MLT: b = {b:.6g}")
+        with timer.phase("chain-init"):
+            carry = init_chains(k_init, wh)
+
     n_blocks = max(1, mutations // block)
-    for i in range(n_blocks):
+    for i in range(start, n_blocks):
         with timer.phase("mutate-blocks"):
             carry = run_block(_jax.random.fold_in(k_loop, i), b, carry, wh)
+        if checkpoint_path:
+            # forces the async block (materializes the carry) — only paid
+            # when the user asked for resumability
+            _save_mlt_checkpoint(checkpoint_path, carry, b, i + 1,
+                                 fingerprint)
     with timer.phase("film-flush"):
         film = np.asarray(flush_film(carry, wh))[:width * height]
         film = film.reshape(height, width, 3)
@@ -876,10 +942,11 @@ def _finish_mlt(estimate_b, init_chains, run_block, flush_film, key, width,
     "MIS, as thousands of parallel lax.scan Markov chains."))
 class MetropolisRenderer(RenderComponent):
     def __init__(self, seed: int = 0, chains: int = None,
-                 mutations: int = None):
+                 mutations: int = None, checkpoint_path: str = None):
         self.seed = seed
         self.chains = chains
         self.mutations = mutations
+        self.checkpoint_path = checkpoint_path
 
     def render(self, scene: Scene) -> RenderResult:
         import os
@@ -888,6 +955,7 @@ class MetropolisRenderer(RenderComponent):
         mutations = self.mutations or int(
             os.environ.get("NR_MLT_MUTATIONS", "256"))
         pixels = render_mlt(scene, chains=chains, mutations=mutations,
-                            seed=self.seed)
+                            seed=self.seed,
+                            checkpoint_path=self.checkpoint_path)
         get_server().logger.log("Done...")
         return RenderResult(pixels=pixels, width=ro.width, height=ro.height)

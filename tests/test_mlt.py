@@ -129,3 +129,52 @@ def test_resolution_shares_compile(resource_dir):
     assert len(_MLT_FN_CACHE) == 1  # no second compile pipeline
     assert a.shape == (24, 24, 4) and b.shape == (20, 30, 4)
     assert np.isfinite(a).all() and np.isfinite(b).all()
+
+
+def test_mlt_checkpoint_resume_exact(resource_dir, tmp_path, monkeypatch):
+    """MLT disk checkpoint (round 3): interrupting after the first of two
+    mutation blocks and resuming yields the EXACT image of a straight run
+    (block i re-keys with fold_in(k_loop, i) either way; the snapshot
+    carries the full chain state + brightness estimate)."""
+    import nrenderer_tpu.renderers.mlt as mlt_mod
+
+    monkeypatch.setenv("NR_MLT_BLOCK", "4")  # mutations=8 -> 2 blocks
+
+    def scene():
+        s = load_scn(str(resource_dir / "Metropolis.scn"))
+        s.render_option.width = 12
+        s.render_option.height = 12
+        s.render_option.depth = 4
+        return s
+
+    kw = dict(chains=16, mutations=8, n_init=64, seed=3)
+    straight = mlt_mod.render_mlt(scene(), **kw)
+
+    ck = str(tmp_path / "mlt.npz")
+    real_save = mlt_mod._save_mlt_checkpoint
+    calls = {"n": 0}
+
+    def dying_save(*a, **k):
+        real_save(*a, **k)
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise KeyboardInterrupt
+
+    monkeypatch.setattr(mlt_mod, "_save_mlt_checkpoint", dying_save)
+    with pytest.raises(KeyboardInterrupt):
+        mlt_mod.render_mlt(scene(), checkpoint_path=ck, **kw)
+    monkeypatch.setattr(mlt_mod, "_save_mlt_checkpoint", real_save)
+    assert int(np.load(ck)["blocks_done"]) == 1
+
+    resumed = mlt_mod.render_mlt(scene(), checkpoint_path=ck, **kw)
+    np.testing.assert_allclose(resumed, straight, rtol=1e-5, atol=1e-6)
+    # full resume: a third run loads blocks_done == n_blocks and does no work
+    again = mlt_mod.render_mlt(scene(), checkpoint_path=ck, **kw)
+    np.testing.assert_allclose(again, straight, rtol=1e-5, atol=1e-6)
+
+    # changing the seed must invalidate the snapshot, not blend into it
+    other = mlt_mod.render_mlt(scene(), chains=16, mutations=8, n_init=64,
+                               seed=4, checkpoint_path=ck)
+    fresh = mlt_mod.render_mlt(scene(), chains=16, mutations=8, n_init=64,
+                               seed=4)
+    np.testing.assert_allclose(other, fresh, rtol=1e-5, atol=1e-6)
