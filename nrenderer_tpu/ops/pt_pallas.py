@@ -124,7 +124,8 @@ def _pt_kernel(seed_ref, *refs, ss: StaticScene,
                cam: Tuple[float, ...], width: int, height: int, spp: int,
                depth: int, t_min: float, bsdf: bool = False,
                env_rows: int = 0, mesh: Tuple[int, int] = None,
-               n_tex: int = 0, mesh_uv: bool = False):
+               n_tex: int = 0, mesh_uv: bool = False,
+               env_exact: Tuple[int, int, int] = None):
     """`bsdf=False`: SimplePathTracer (diffuse-only).  `bsdf=True`:
     AccPathTracer's 4-lobe dispatch (pt_core.bsdf_bounce) — same kernel
     skeleton, one extra uniform per bounce.
@@ -173,6 +174,36 @@ def _pt_kernel(seed_ref, *refs, ss: StaticScene,
         textures = _make_tex_resolver(tex_refs, n_tex, TEX_ROWS)
     else:
         textures = None
+    env0_lookup = None
+    if env_exact:
+        # per-pixel PxP native-res env windows, lane-aligned (see the
+        # module comment above _env_patch_build): bounce-0 misses resolve
+        # in-kernel with P*P selects instead of the XLA primary pass
+        p_win, env_he, env_we = env_exact
+        by_ref = refs.pop(0)
+        bx_ref = refs.pop(0)
+        patch_ref = refs.pop(0)
+        pp = p_win * p_win
+
+        def env0_lookup(d):
+            u = 0.5 + _atan2_approx(d.z, d.x) * jnp.float32(0.5 / np.pi)
+            v = 0.5 - _asin_approx(jnp.clip(d.y, -1.0, 1.0)) \
+                * jnp.float32(1.0 / np.pi)
+            x = jnp.clip((u * env_we).astype(jnp.int32), 0, env_we - 1)
+            y = jnp.clip((v * env_he).astype(jnp.int32), 0, env_he - 1)
+            dyl = jnp.clip(y - by_ref[0], 0, p_win - 1)
+            dx0 = x - bx_ref[0]
+            dx0 = jnp.where(dx0 < -(env_we // 2), dx0 + env_we,
+                            jnp.where(dx0 > env_we // 2, dx0 - env_we, dx0))
+            dxl = jnp.clip(dx0, 0, p_win - 1)
+            lin = dyl * p_win + dxl
+            outs = []
+            for c in range(3):
+                acc = patch_ref[0, c * pp]
+                for k in range(1, pp):
+                    acc = jnp.where(lin == k, patch_ref[0, c * pp + k], acc)
+                outs.append(acc)
+            return V3(*outs)
     if env_rows:
         envr_ref, envg_ref, envb_ref, film_r, film_g, film_b = refs
     else:
@@ -272,7 +303,33 @@ def _pt_kernel(seed_ref, *refs, ss: StaticScene,
             o, d, thr, rad, alive = out
             return (o, d, thr, rad, alive.astype(jnp.float32))
 
-        st = jax.lax.fori_loop(0, depth, bounce_body, state)
+        if env_exact:
+            # peel bounce 0: its misses resolve EXACTLY from the pixel's
+            # native-res window (the b > 0 guard in bounce_body keeps them
+            # out of the binned-lookup carries)
+            o, d, thr, rad, alive_f, thr_m, d_m = state
+            u1 = hash_uniform(pid, sp, 4, seed)
+            u2 = hash_uniform(pid, sp, 5, seed)
+            if bsdf:
+                u3 = hash_uniform(pid, sp, 6, seed)
+                out = bsdf_bounce(ss, mat_ch, o, d, thr, rad, alive_f > 0.5,
+                                  u1, u2, u3, t_min=t_min, with_miss=True,
+                                  tri_bvh=tri_bvh, textures=textures)
+            else:
+                out = diffuse_bounce(ss, albedo_ch, o, d, thr, rad,
+                                     alive_f > 0.5, u1, u2, t_min=t_min,
+                                     with_miss=True, tri_bvh=tri_bvh,
+                                     textures=textures)
+            o, d, thr, rad, alive, miss = out
+            env0 = env0_lookup(d)   # miss rays keep their camera d
+            m0 = miss.astype(jnp.float32)
+            rad = V3(rad.x + m0 * thr.x * env0.x,
+                     rad.y + m0 * thr.y * env0.y,
+                     rad.z + m0 * thr.z * env0.z)
+            state = (o, d, thr, rad, alive.astype(jnp.float32), thr_m, d_m)
+            st = jax.lax.fori_loop(1, depth, bounce_body, state)
+        else:
+            st = jax.lax.fori_loop(0, depth, bounce_body, state)
         if env_rows:
             o, d, thr, rad, alive_f, thr_m, d_m = st
             # binned equirect lookup (same index math as env.sample_env_map)
@@ -305,7 +362,8 @@ def _build_pallas_pt(ss: StaticScene, cam: Tuple[float, ...], width: int,
                      height: int, spp: int, depth: int, t_min: float,
                      bsdf: bool = False, linear: bool = False,
                      env_rows: int = 0, mesh: Tuple[int, int] = None,
-                     n_tex: int = 0, mesh_uv: bool = False):
+                     n_tex: int = 0, mesh_uv: bool = False,
+                     env_exact: Tuple[int, int, int] = None):
     """`mesh = (n_blocks, b)`: the returned `run` takes the 16 blocked
     triangle arrays (bb_min, bb_max, 14 tables) right after `seed` (+7 UV
     tables when `mesh_uv`) — they ride to every grid program as
@@ -318,7 +376,8 @@ def _build_pallas_pt(ss: StaticScene, cam: Tuple[float, ...], width: int,
     kernel = functools.partial(_pt_kernel, ss=ss, cam=cam, width=width,
                                height=height, spp=spp, depth=depth,
                                t_min=t_min, bsdf=bsdf, env_rows=env_rows,
-                               mesh=mesh, n_tex=n_tex, mesh_uv=mesh_uv)
+                               mesh=mesh, n_tex=n_tex, mesh_uv=mesh_uv,
+                               env_exact=env_exact)
     film_shape = jax.ShapeDtypeStruct((n_tiles, SUB, LANES), jnp.float32)
     block = pl.BlockSpec((1, SUB, LANES), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
@@ -332,6 +391,17 @@ def _build_pallas_pt(ss: StaticScene, cam: Tuple[float, ...], width: int,
             in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 7
     if n_tex:
         in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * (3 * n_tex)
+    if env_exact:
+        # per-tile blocked: pixel window bases + the PxP patch planes
+        p_win = env_exact[0]
+        in_specs += [
+            pl.BlockSpec((1, SUB, LANES), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, SUB, LANES), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * p_win * p_win, SUB, LANES),
+                         lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+        ]
     if env_rows:
         # bin tables are tiny ((rows, 128) x 3) and replicated to each tile
         in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 3
@@ -396,6 +466,110 @@ def _tex_tabs(textures) -> tuple:
 
 
 ENV_ROWS = 32  # in-kernel env bin table: ENV_ROWS x 128 bins
+
+
+# --- exact bounce-0 env lookups, in-kernel -------------------------------
+#
+# A film pixel's jitter footprint on the env map is tiny (pixel solid angle
+# ~ env texel solid angle for 1080p-class maps at 512^2), so every primary
+# ray of pixel q lands in a small PxP native-resolution window around q's
+# central direction.  The windows are gathered ONCE on the host (numpy;
+# camera is static) and passed per film tile as lane-ALIGNED planes: sample
+# lanes select among their own pixel's P*P texels — no dynamic gather at
+# all, just P*P vector selects per sample.  This replaces the XLA
+# `_build_env_primary` pass (measured 5.8 s of the 6.7 s env bench: its
+# (N,)-indexed `jnp.take` from the native map lowers ~100x off memory
+# speed-of-light) with in-kernel work that rides the existing spp loop.
+
+_ENV_PATCH_CACHE: dict = {}
+
+
+def _env_patch_build(env_map, cam: Tuple[float, ...], width: int,
+                     height: int, p: int):
+    """Try to build PxP per-pixel env windows; None if some pixel's
+    footprint (jitter corners x lens extremes) escapes its window."""
+    e = np.asarray(env_map, np.float32)
+    he, we = int(e.shape[0]), int(e.shape[1])
+    n_pix = width * height
+    tile = SUB * LANES
+    n_tiles = -(-n_pix // tile)
+    n = n_tiles * tile
+    (px0, py0, pz0, llx, lly, llz, hx, hy, hz, vx, vy, vz,
+     ux, uy, uz, cvx, cvy, cvz, lens_r) = cam
+
+    pid = np.minimum(np.arange(n, dtype=np.int64), n_pix - 1)
+    pyi = pid // width
+    pxf = (pid - pyi * width).astype(np.float64)
+    pyf = pyi.astype(np.float64)
+
+    def env_xy(rx, ry, du, dv):
+        s = (pxf + rx) / width
+        t = (pyf + ry) / height
+        ox = px0 + du * ux + dv * cvx
+        oy = py0 + du * uy + dv * cvy
+        oz = pz0 + du * uz + dv * cvz
+        dx = llx + s * hx + t * vx - ox
+        dy = lly + s * hy + t * vy - oy
+        dz = llz + s * hz + t * vz - oz
+        inv = 1.0 / np.sqrt(dx * dx + dy * dy + dz * dz)
+        u = 0.5 + np.arctan2(dz * inv, dx * inv) / (2.0 * np.pi)
+        v = 0.5 - np.arcsin(np.clip(dy * inv, -1.0, 1.0)) / np.pi
+        x = np.clip((u * we).astype(np.int64), 0, we - 1)
+        y = np.clip((v * he).astype(np.int64), 0, he - 1)
+        return x, y
+
+    xc, yc = env_xy(0.0, 0.0, 0.0, 0.0)
+    bx = (xc - (p - 1) // 2) % we
+    by = np.clip(yc - (p - 1) // 2, 0, max(he - p, 0))
+
+    # the jitter square's boundary (corners + edge midpoints — the
+    # pixel->equirect map can peak mid-edge near the poles) x lens-disk
+    # extremes must stay in-window
+    lens = [(0.0, 0.0)]
+    if lens_r > 0.0:
+        lens = [(a * lens_r, b * lens_r)
+                for a in (-1.0, 1.0) for b in (-1.0, 1.0)]
+    for rx, ry in ((-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1),
+                   (1, -1), (1, 0), (1, 1)):
+        for du, dv in lens:
+            x, y = env_xy(float(rx), float(ry), du, dv)
+            offx = (x - bx) % we
+            offy = y - by
+            if (offx >= p).any() or (offy < 0).any() or (offy >= p).any():
+                return None
+    ys = by[:, None] + np.arange(p)
+    xs = (bx[:, None] + np.arange(p)) % we
+    pat = e[ys[:, :, None], xs[:, None, :]]          # (n, p, p, 3)
+    pat = pat.transpose(0, 3, 1, 2).reshape(n, 3 * p * p)
+    pat = pat.reshape(n_tiles, SUB, LANES, 3 * p * p).transpose(0, 3, 1, 2)
+    shp = (n_tiles, SUB, LANES)
+    return (jnp.asarray(by.astype(np.int32).reshape(shp)),
+            jnp.asarray(bx.astype(np.int32).reshape(shp)),
+            jnp.asarray(np.ascontiguousarray(pat)))
+
+
+def _env_exact_args(env_map, cam: Tuple[float, ...], width: int,
+                    height: int):
+    """((p, He, We) static key, (by, bx, patches)) for the in-kernel exact
+    bounce-0 env path, or (None, ()) when disabled or the camera's pixel
+    footprint exceeds the largest window (falls back to the XLA pass)."""
+    if os.environ.get("NR_ENV_EXACT0", "1") == "0":
+        return None, ()
+    import hashlib
+    e = np.asarray(env_map, np.float32)
+    fp = hashlib.sha1(e.tobytes()).hexdigest()
+    key = (fp, cam, width, height)
+    if key in _ENV_PATCH_CACHE:
+        return _ENV_PATCH_CACHE[key]
+    he, we = int(e.shape[0]), int(e.shape[1])
+    out = (None, ())
+    for p in (4, 8):
+        built = _env_patch_build(e, cam, width, height, p)
+        if built is not None:
+            out = ((p, he, we), built)
+            break
+    _ENV_PATCH_CACHE[key] = out
+    return out
 
 
 @functools.lru_cache(maxsize=32)
@@ -503,17 +677,19 @@ def _render_gamma(ss, cam, width, height, spp, depth, seed, t_min, bsdf,
                                bsdf=bsdf, mesh=mesh_key, n_tex=n_tex,
                                mesh_uv=mesh_uv)
         return run(jnp.asarray([seed], jnp.int32), *mesh_arrs, *tex_arrs)
-    # env-map scenes: the exact bounce-0 pass brute-forces the unrolled
-    # scene, so mesh scenes with env maps stay on the XLA hybrid
+    # env-map scenes: mesh scenes with env maps stay on the XLA hybrid
     # (renderers/acc_pt.py routes accordingly)
     assert mesh_accel is None, "env map + in-kernel mesh not supported"
+    exact_key, exact_arrs = _env_exact_args(env_map, ct, width, height)
     run = _build_pallas_pt(hs, ct, width, height, spp, depth, t_min,
                            bsdf=bsdf, linear=True, env_rows=ENV_ROWS,
-                           n_tex=n_tex)
-    film = run(jnp.asarray([seed], jnp.int32), *tex_arrs,
+                           n_tex=n_tex, env_exact=exact_key)
+    film = run(jnp.asarray([seed], jnp.int32), *tex_arrs, *exact_arrs,
                *_env_tabs(env_map))
-    prim = _build_env_primary(hs, ct, width, height, spp, t_min)
-    film = film + prim(jnp.int32(seed), jnp.asarray(env_map))
+    if exact_key is None:
+        # pathological pixel footprint: exact bounce-0 env via the XLA pass
+        prim = _build_env_primary(hs, ct, width, height, spp, t_min)
+        film = film + prim(jnp.int32(seed), jnp.asarray(env_map))
     inv = 1.0 / float(spp)
     return jnp.sqrt(jnp.maximum(film * inv, 0.0)).reshape(height, width, 3)
 
@@ -563,15 +739,20 @@ def render_pt_pallas_linear(ss: StaticScene, cam, width: int, height: int,
         else _mesh_args(mesh_accel, with_uv=mesh_uv)
     n_tex = len(textures) if textures else 0
     tex_arrs = _tex_tabs(textures) if textures else ()
-    run = _build_pallas_pt(hs, ct, width, height, spp, depth, t_min,
-                           bsdf=bsdf, linear=True, mesh=mesh_key,
-                           n_tex=n_tex, mesh_uv=mesh_uv,
-                           env_rows=ENV_ROWS if env_map is not None else 0)
     if env_map is None:
+        run = _build_pallas_pt(hs, ct, width, height, spp, depth, t_min,
+                               bsdf=bsdf, linear=True, mesh=mesh_key,
+                               n_tex=n_tex, mesh_uv=mesh_uv)
         return run(jnp.asarray([seed], jnp.int32), *mesh_arrs, *tex_arrs)
     assert mesh_accel is None, "env map + in-kernel mesh not supported"
-    film = run(jnp.asarray([seed], jnp.int32), *tex_arrs,
+    exact_key, exact_arrs = _env_exact_args(env_map, ct, width, height)
+    run = _build_pallas_pt(hs, ct, width, height, spp, depth, t_min,
+                           bsdf=bsdf, linear=True, n_tex=n_tex,
+                           env_rows=ENV_ROWS, env_exact=exact_key)
+    film = run(jnp.asarray([seed], jnp.int32), *tex_arrs, *exact_arrs,
                *_env_tabs(env_map))
+    if exact_key is not None:
+        return film
     prim = _build_env_primary(hs, ct, width, height, spp, t_min)
     return film + prim(jnp.int32(seed), jnp.asarray(env_map))
 

@@ -261,3 +261,44 @@ def test_pallas_env_matches_xla_engine():
     assert abs(img_p.mean() - img_x.mean()) < 0.08
     corr = np.corrcoef(img_p.reshape(-1), img_x.reshape(-1))[0, 1]
     assert corr > 0.9  # measured 0.999
+
+
+def test_env_exact_patch_matches_xla_primary(monkeypatch):
+    """The in-kernel exact bounce-0 env path (per-pixel native-res PxP
+    windows, lane-aligned selects) must reproduce the XLA primary pass
+    BIT-EXACTLY: both read the same native texel for the same hash-RNG
+    jittered ray, so the only tolerance needed is the kernel's polynomial
+    atan2 (~1e-5 rad, far below a texel at this map size)."""
+    from nrenderer_tpu.ops import pt_pallas
+    from nrenderer_tpu.scene.model import AmbientType, Texture
+
+    scene = load_scn("/root/reference/resource/env_map_spheres.scn")
+    rng = np.random.default_rng(0)
+    env = rng.uniform(0.0, 2.0, (64, 128, 3)).astype(np.float32)
+    scene.ambient.environment_map = len(scene.textures)
+    scene.textures.append(Texture(name="env", pixels=env))
+    scene.ambient.type = AmbientType.ENVIRONMENT_MAP
+    arr = build_scene_arrays(scene)
+    ss = make_static_scene(arr)
+    cam = make_camera(scene.camera)
+    w = h = 32
+    spp, depth = 4, 3
+
+    ct = pt_pallas._camera_tuple(cam)
+    key, _ = pt_pallas._env_exact_args(arr.env_map, ct, w, h)
+    assert key is not None, "patch build fell back; footprint check failed"
+
+    with pltpu.force_tpu_interpret_mode():
+        img_exact = np.asarray(pt_pallas.render_bsdf_pt_pallas(
+            ss, cam, w, h, spp, depth, seed=3, env_map=arr.env_map))
+
+    monkeypatch.setenv("NR_ENV_EXACT0", "0")
+    pt_pallas._ENV_PATCH_CACHE.clear()
+    pt_pallas._build_pallas_pt.cache_clear()
+    with pltpu.force_tpu_interpret_mode():
+        img_fb = np.asarray(pt_pallas.render_bsdf_pt_pallas(
+            ss, cam, w, h, spp, depth, seed=3, env_map=arr.env_map))
+    pt_pallas._ENV_PATCH_CACHE.clear()
+    pt_pallas._build_pallas_pt.cache_clear()
+
+    assert np.abs(img_exact - img_fb).max() < 5e-3  # measured 0.0
