@@ -354,9 +354,10 @@ class AccPathTracerRenderer(RenderComponent):
             # each sweep pallas_call costs ~28 ms FIXED on the axon backend
             # (independent of grid size and kernel size; measured r3), and
             # the bounce loop makes one per bounce — bigger spp chunks
-            # amortize it 4x (2M -> 8M-ray wavefronts, ~750 MB of carried
-            # state, well inside 16 GB HBM).  NR_CHUNK_BUDGET_LOG2 tunes it.
-            budget = 1 << int(os.environ.get("NR_CHUNK_BUDGET_LOG2", "23"))
+            # amortize it (2M -> 16M-ray wavefronts, ~1.5 GB of carried
+            # state, well inside 16 GB HBM; bunny-5k 35.7 -> 33.6 s vs the
+            # 8M default it replaced).  NR_CHUNK_BUDGET_LOG2 tunes it.
+            budget = 1 << int(os.environ.get("NR_CHUNK_BUDGET_LOG2", "24"))
             chunk = pick_chunk(w, h, spp, budget_rays=budget)
         tri_bvh = None
         if use_bvh:
