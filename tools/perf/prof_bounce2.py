@@ -65,10 +65,24 @@ def scanned(body):
     return outer
 
 
+ss_nt = ss._replace(tri=[], tri_uv=())  # closest_hit strips tris for the
+                                        # dense pass — do the same here, or
+                                        # 5016 unrolled intersects trace
+
+
 def dense_only(c, o, d):
     o2 = V3(o.x + c, o.y, o.z)
-    hit = intersect_scene_unrolled(ss, o2, d, t_min, mat_ch)
+    hit = intersect_scene_unrolled(ss_nt, o2, d, t_min, mat_ch)
     return c + hit.t[0] * 0
+
+
+def mesh_only(c, o, d, t_dense, alive):
+    """The mesh compaction pipe standalone: t_dense is an INPUT, so XLA
+    can't fuse/reschedule it with the dense intersect."""
+    o2 = V3(o.x + c, o.y, o.z)
+    out = intersect_triangles_mesh(ma, o2, d, t_min, t_dense, mat_ch,
+                                   alive=alive)
+    return c + out[0][0] * 0
 
 
 def ch_full(c, o, d, alive):
@@ -126,6 +140,9 @@ def rng_only(c, o, d):
 
 timeit("3x jax.random.uniform (8M)", scanned(rng_only), jnp.float32(0), o, d)
 timeit("dense unrolled only (8M)", scanned(dense_only), jnp.float32(0), o, d)
+t_dense = jnp.full((N,), 1e30, jnp.float32)
+timeit("mesh pipe standalone (8M)", scanned(mesh_only), jnp.float32(0),
+       o, d, t_dense, alive)
 timeit("closest_hit dense+mesh (8M)", scanned(ch_full), jnp.float32(0),
        o, d, alive)
 timeit("bsdf_bounce full (8M)", scanned(bounce_full), jnp.float32(0),
