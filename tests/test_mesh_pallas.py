@@ -142,6 +142,26 @@ def test_mesh_compaction_matches_uncompacted(setup, monkeypatch):
                                    atol=1e-6)
 
 
+def test_mesh_pack_modes_identical(setup, monkeypatch):
+    """NR_MESH_PACK=shift (log-shift compaction, default) and =scatter
+    (cumsum pack + gathers) must produce bit-identical intersection
+    results — the shift pack is a pure data-movement rewrite."""
+    import nrenderer_tpu.ops.mesh_pallas as mp
+
+    ma, ch, o, dv, blocked = setup
+    n = o.x.shape[0]
+    t_dense = jnp.full((n,), jnp.inf)
+    monkeypatch.setattr(mp, "MESH_COMPACT_MIN", 64)
+    monkeypatch.setenv("NR_MESH_PACK", "shift")
+    a = mp.intersect_triangles_mesh(ma, o, dv, 1e-3, t_dense, ch)
+    monkeypatch.setenv("NR_MESH_PACK", "scatter")
+    b = mp.intersect_triangles_mesh(ma, o, dv, 1e-3, t_dense, ch)
+    for got, want in zip(a[:6], b[:6]):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    for got, want in zip(a[6], b[6]):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 def test_mesh_compaction_overflow_fallback(setup, monkeypatch):
     """When more rays hit the mesh AABB than the compact buffer holds, the
     lax.cond falls back to the full sweep — still exact."""
