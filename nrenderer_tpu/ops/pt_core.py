@@ -21,7 +21,7 @@ import numpy as np
 from .intersect import (
     StaticScene, intersect_area_lights_unrolled, intersect_scene_unrolled,
 )
-from .compact import pack_indices
+from .compact import shift_pack_channels
 from .soa import V3, cross3, dot3, normalize3, where3
 
 PI = 3.14159265358979323846
@@ -254,11 +254,11 @@ def _blocked_compacted(bt, o: V3, d: V3, t_min: float, t_dense,
     k_ch = bt.channels.shape[0]
 
     def compacted(_):
-        idx = pack_indices(m, cap)
-        gidx = jnp.clip(idx, 0, n - 1)
-        take = lambda a: jnp.take(a, gidx, mode="clip")
-        oc = V3(take(o.x), take(o.y), take(o.z))
-        dc = V3(take(d.x), take(d.y), take(d.z))
+        # log-shift compaction: no gathers (see compact.shift_pack_channels;
+        # same rewrite as the Pallas mesh pipe, 213 -> 46 ms/bounce at 8M)
+        (ox, oy, oz, dx, dy, dz), idx, _ = shift_pack_channels(
+            m, (o.x, o.y, o.z, d.x, d.y, d.z), cap)
+        oc, dc = V3(ox, oy, oz), V3(dx, dy, dz)
         out = intersect_triangles_blocked(bt, oc, dc, t_min=t_min,
                                           with_uv=with_uv)
         if with_uv:
