@@ -336,9 +336,13 @@ def intersect_triangles_mesh(ma: MeshAccel, o: V3, d: V3, t_min: float,
     the mesh's TOP-LEVEL AABB in plain XLA (~3 ms at 8M rays); rays that
     can't reach the mesh — dead lanes, rays pointing away, rays whose
     dense-prim hit is nearer than the box entry — get `t_cap = 0`, and
-    the survivors (5-18% on bunny-5k bounce wavefronts) are packed with
-    `jnp.nonzero` + gathers into a `cap = N/8` buffer for the sweep, the
-    results scattered back.  Overflow (> cap survivors) falls back via
+    the survivors (5-18% on bunny-5k bounce wavefronts) are packed into a
+    `cap = N/8` buffer for the sweep, the results scattered back.  The
+    pack is the gather-free LOG-SHIFT compaction
+    (`compact.shift_pack_channels`, ~46 ms/bounce at 8M rays vs 213 ms
+    for the cumsum-pack + 7 per-element gathers it replaced —
+    `NR_MESH_PACK=scatter` restores that engine).  Overflow (> cap
+    survivors) falls back via
     `lax.cond` to the UNCOMPACTED sweep with the zeroed caps — which is
     exactly right for the one place it fires, the near-coherent camera
     bounce (17.8% AABB rate on the reference bunny framing): coherent
@@ -346,14 +350,13 @@ def intersect_triangles_mesh(ma: MeshAccel, o: V3, d: V3, t_min: float,
     the full sweep is cheap.  SCATTERED bounces are the opposite — ~1
     AABB-hitting ray per 32x128 tile defeats the gating (measured 57 s
     whole-render full-sweep vs 36 s compacted) — which is why compaction
-    is the default despite the pack/unpack pipeline's own 157-405
-    ms/bounce cost at 8M rays (nonzero ~70 ms, 7 gathers ~50 ms,
-    6 scatters ~16 ms; microbenches with RANDOM live masks make the full
-    sweep look 10x better than it is on real pixel-scattered hits).
-    Block-granular packing was also tried and reverted: 99% of 128-ray
-    rows are live from bounce 1 on, so row packing recreates the
-    lockstep divergence it was meant to remove (97 s whole-render).
-    `NR_MESH_COMPACT=0` forces the zero-cap full sweep everywhere.
+    is the default.  Block-granular packing was tried and reverted: 99%
+    of 128-ray rows are live from bounce 1 on, so row packing recreates
+    the lockstep divergence it was meant to remove (97 s whole-render).
+    `NR_MESH_COMPACT=0` forces the zero-cap full sweep everywhere;
+    `NR_MESH_COMPACT_FRACTION` overrides the cap = N/fraction sizing
+    (the shift pack's cost is cap-independent, so a wider cap only costs
+    sweep-grid size).
 
     Returns the `intersect_triangles_blocked` result tuple
     (t, nx, ny, nz, mat_id, prim_id, channels)."""
@@ -363,7 +366,9 @@ def intersect_triangles_mesh(ma: MeshAccel, o: V3, d: V3, t_min: float,
     n = o.x.shape[0]
     compact = os.environ.get("NR_MESH_COMPACT", "1") != "0"
     if cap is None:
-        cap = max(1024, n // MESH_COMPACT_FRACTION)
+        frac = int(os.environ.get("NR_MESH_COMPACT_FRACTION",
+                                  str(MESH_COMPACT_FRACTION)))
+        cap = max(1024, n // frac)
     cap = max(1024, -(-cap // 4096) * 4096)  # tile-align for the sweep
     if n < MESH_COMPACT_MIN or (compact and cap >= n):
         t, idx, nx, ny, nz, mat = sweep_mesh_full(ma.bt, o, d, t_min,
