@@ -21,6 +21,7 @@ spawning workers (`AccPathTracer.cpp:58-62`).
 """
 from __future__ import annotations
 
+import os
 from typing import NamedTuple, Tuple
 
 import numpy as np
@@ -399,8 +400,13 @@ class MeshAccel(NamedTuple):
     tp: TrianglePack
 
 
-def build_mesh_accel(scene_arrays, mat_channels, block: int = 128
+def build_mesh_accel(scene_arrays, mat_channels, block: int = None
                      ) -> MeshAccel:
+    if block is None:
+        # sweep-cost tradeoff: a forced block sweeps all `block` triangles
+        # for the whole 32x128 ray tile, so smaller blocks cull tighter at
+        # the price of more per-block slab tests (NR_MESH_BLOCK to tune)
+        block = int(os.environ.get("NR_MESH_BLOCK", "128"))
     return MeshAccel(bt=pack_blocked_triangles(scene_arrays, mat_channels,
                                                block=block),
                      tp=pack_triangles(scene_arrays, mat_channels))
