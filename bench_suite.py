@@ -88,10 +88,19 @@ def main() -> int:
     rows.append(("AccPT pt_glass (BSDFs)", f"{size}x{size}, {spp} spp", dt,
                  f"{spp / dt:.0f} spp/s"))
 
-    # 3b. conductors.scn — the other half of BASELINE Config 3 (smooth
-    # conductor complex-Fresnel spheres; the scene ships no light, so the
-    # interest is BSDF throughput, not image brightness)
-    scene, arr, ss, cam = setup("conductors.scn")
+    # 3b. conductors.scn — the other half of BASELINE Config 3.  The stock
+    # .scn ships ONLY the 14 metal materials (no geometry, no light — the
+    # reference UI adds spheres by hand), so the bench renders the
+    # programmatic showcase from examples/conductors_grid.py: Cornell
+    # shell + area light + one sphere per metal (complex-Fresnel
+    # microfacet, type 3).
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent
+                           / "examples"))
+    from conductors_grid import build_scene as build_conductors
+    scene = build_conductors()
+    arr = build_scene_arrays(scene)
+    ss = make_static_scene(arr)
+    cam = make_camera(scene.camera)
     cond_depth = 8 if backend == "cpu" else 20
     if backend == "cpu":
         from nrenderer_tpu.renderers.acc_pt import get_render_fn as acc_fn

@@ -658,6 +658,15 @@ def _env_tabs(env_map):
 def _render_gamma(ss, cam, width, height, spp, depth, seed, t_min, bsdf,
                   env_map, mesh_accel=None, textures=None):
     """Shared driver: kernel (+ exact bounce-0 env pass) -> gamma'd image."""
+    if (not ss.sph and not ss.tri and not ss.pln and mesh_accel is None):
+        # a scene with zero primitives constant-folds the whole bounce loop;
+        # Mosaic then fails layout inference on the replicated carries
+        # ("Invalid relayout ... replicated in destination but not in
+        # source").  Refuse with a real error instead — the XLA wavefront
+        # renders degenerate scenes fine (renderers/acc_pt routes there).
+        raise ValueError(
+            "Pallas megakernel requires at least one primitive; this scene "
+            "has none (materials-only .scn?) — use the XLA wavefront")
     hs = _hashable_static_scene(ss)
     ct = _camera_tuple(cam)
     if textures and mesh_accel is not None and mesh_accel.bt.tex is None:

@@ -242,9 +242,11 @@ class AccPathTracerRenderer(RenderComponent):
         # XLA path instead.
         textures = arrays.textures if ss.tri_uv else None
         tex_kernel_ok = os.environ.get("NR_TEX_KERNEL", "1") != "0"
+        n_prims = (len(ss.sph) + len(ss.pln) + n_tri)
         use_pallas = (engine != "xla"
                       and jax.default_backend() not in ("cpu",)
                       and n_tri <= BVH_THRESHOLD
+                      and n_prims > 0  # empty scene: megakernel refuses
                       and (not textures or tex_kernel_ok))
         # small mesh pools (no env): ONE megakernel with the blocked
         # triangle sweep folded into the bounce loop (VERDICT r2 #2) —

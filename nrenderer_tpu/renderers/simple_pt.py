@@ -299,9 +299,12 @@ class SimplePathTracerRenderer(RenderComponent):
         # full-res XLA path
         textures = arrays.textures if ss.tri_uv else None
         tex_kernel_ok = os.environ.get("NR_TEX_KERNEL", "1") != "0"
+        n_prims = len(ss.sph) + len(ss.pln) + len(ss.tri)
         if engine == "auto":
             engine = ("pallas" if jax.default_backend() not in ("cpu",)
-                      and (not textures or tex_kernel_ok) else "xla")
+                      and (not textures or tex_kernel_ok)
+                      and n_prims > 0  # empty scene: megakernel refuses
+                      else "xla")
         if engine == "pallas":
             from ..ops.pt_pallas import render_simple_pt_pallas
             with timer.phase(f"render[{engine}]"):

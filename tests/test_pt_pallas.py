@@ -302,3 +302,23 @@ def test_env_exact_patch_matches_xla_primary(monkeypatch):
     pt_pallas._build_pallas_pt.cache_clear()
 
     assert np.abs(img_exact - img_fb).max() < 5e-3  # measured 0.0
+
+
+def test_megakernel_refuses_empty_scene():
+    """A materials-only scene (stock conductors.scn ships no geometry)
+    constant-folds the whole bounce loop and crashes Mosaic layout
+    inference on real TPU — the megakernel must refuse it with a real
+    error (the renderers route such scenes to the XLA wavefront)."""
+    import pytest
+    from nrenderer_tpu import load_scn, build_scene_arrays
+    from nrenderer_tpu.ops.camera import make_camera
+    from nrenderer_tpu.ops.intersect import make_static_scene
+    from nrenderer_tpu.ops import pt_pallas
+
+    scene = load_scn("/root/reference/resource/conductors.scn")
+    arr = build_scene_arrays(scene)
+    ss = make_static_scene(arr)
+    cam = make_camera(scene.camera)
+    assert not ss.sph and not ss.tri and not ss.pln
+    with pytest.raises(ValueError, match="at least one primitive"):
+        pt_pallas.render_bsdf_pt_pallas(ss, cam, 16, 16, 2, 2, seed=0)
