@@ -88,3 +88,71 @@ def shift_pack_channels(mask: jnp.ndarray, channels: Sequence[jnp.ndarray],
     valid = pslot < n_hit
     ridx = jnp.where(valid, pslot + s[:cap], n)
     return tuple(c[:cap] for c in chans), ridx, n_hit
+
+
+def shift_unpack_channels(mask: jnp.ndarray,
+                          packed: Sequence[jnp.ndarray],
+                          misses: Sequence[jnp.ndarray],
+                          ridx: jnp.ndarray = None
+                          ) -> Tuple[jnp.ndarray, ...]:
+    """Inverse of `shift_pack_channels`: distribute per-slot results back
+    to the masked lanes, without a scatter.  `packed[i][p]` is the result
+    for the p-th True lane of `mask` (slots past the hit count ignored);
+    `misses[i]` are the per-channel fill arrays (or scalars) for False
+    lanes.  Returns the (n,)-shaped channels.
+
+    Equivalent to `miss.at[pack_indices(mask, cap)].set(packed, "drop")`
+    but runs the pack's staged shifts in REVERSE (bits MSB->LSB, moving
+    right), which streams at HBM speed instead of TPU scatter speed
+    (measured 6 scatter-backs ~80 ms vs ~25 ms reversed at 8M rays).
+    Collision-free by time-reversal: every intermediate state is a valid
+    forward state, where hit positions are distinct.
+    """
+    n = mask.shape[0]
+    cap = packed[0].shape[0]
+    pslot = jnp.arange(cap, dtype=jnp.int32)
+
+    def grow(a, fill):
+        if a.shape[0] >= n:
+            return a[:n]
+        return jnp.concatenate(
+            [a, jnp.full((n - a.shape[0],), fill, a.dtype)])
+
+    pos = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    if ridx is not None:
+        # the pack's ridx is exactly slot + shift (n-filled past the hits):
+        # reconstruct the per-slot shift channel for free
+        s_packed = jnp.where(ridx < n, ridx - pslot, jnp.int32(-1))
+    else:
+        iota = jnp.arange(n, dtype=jnp.int32)
+        n_hit = pos[-1] + 1
+        s_lane = jnp.where(mask, iota - pos, jnp.int32(-1))
+        (s_re,), _, _ = shift_pack_channels(s_lane > jnp.int32(-1),
+                                            (s_lane,), cap)
+        s_packed = jnp.where(pslot < n_hit, s_re, jnp.int32(-1))
+    s = grow(s_packed, -1)
+    # hits past the buffer (overflow) never received a slot — they keep
+    # the miss fill, matching the scatter's mode="drop"
+    covered = mask & (pos < cap)
+    chans = [grow(a, 0) for a in packed]
+    for k in reversed(range(max(1, (n - 1).bit_length()))):
+        step = 1 << k
+        if step >= n:
+            continue
+        mover = (s >= 0) & (((s >> k) & 1) == 1)
+        landing = jnp.concatenate([jnp.zeros((step,), jnp.bool_),
+                                   mover[:-step]])
+
+        def shsel(a, landing=landing, step=step):
+            return jnp.where(landing,
+                             jnp.concatenate([a[-step:], a[:-step]]), a)
+
+        # deaden the s of vacated slots: a stale copy that kept a live s
+        # would keep moving and could overwrite an element that already
+        # settled (the forward direction's arrival-order protection does
+        # not mirror under MSB-first processing)
+        s = jnp.where(landing, shsel(s),
+                      jnp.where(mover, jnp.int32(-1), s))
+        chans = [shsel(c) for c in chans]
+    return tuple(jnp.where(covered, c, m)
+                 for c, m in zip(chans, misses))

@@ -49,7 +49,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .bvh import BlockedTris, MeshAccel, TrianglePack
-from .compact import pack_indices, shift_pack_channels
+from .compact import (pack_indices, shift_pack_channels,
+                      shift_unpack_channels)
 from .soa import V3
 
 SUB_M = 32   # ray-tile height: SUB_M x 128 rays per grid program
@@ -437,6 +438,16 @@ def intersect_triangles_mesh(ma: MeshAccel, o: V3, d: V3, t_min: float,
         t, idx, nxs, nys, nzs, mat = sweep_mesh_full(
             ma.bt, oc, dc, t_min, t_cap=tc_cap, n_valid=n_hit,
             interpret=interpret)
+        if pack_mode == "shift":
+            # results ride back on the REVERSED shift steps — the 6
+            # per-element scatter-backs were the pipe's single largest
+            # cost once the pack went gather-free (~80 of 206 ms/bounce
+            # at 8M rays, measured with all outputs consumed)
+            zeros = jnp.zeros((n,))
+            return shift_unpack_channels(
+                m, (t, idx, nxs, nys, nzs, mat),
+                (jnp.full((n,), inf), jnp.full((n,), -1, jnp.int32),
+                 zeros, zeros, zeros, zeros), ridx=ridx)
         scat = lambda init, vals: init.at[ridx].set(
             vals, mode="drop", indices_are_sorted=True, unique_indices=True)
         return (scat(jnp.full((n,), inf), t),
