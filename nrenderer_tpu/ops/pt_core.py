@@ -21,7 +21,7 @@ import numpy as np
 from .intersect import (
     StaticScene, intersect_area_lights_unrolled, intersect_scene_unrolled,
 )
-from .compact import shift_pack_channels
+from .compact import shift_pack_channels, shift_unpack_channels
 from .soa import V3, cross3, dot3, normalize3, where3
 
 PI = 3.14159265358979323846
@@ -268,23 +268,16 @@ def _blocked_compacted(bt, o: V3, d: V3, t_min: float, t_dense,
             uvc = ()
 
         inf = jnp.float32(jnp.inf)
-        # nonzero output is sorted and unique — these hints let XLA vectorize
-        # the scatter instead of serializing it
-        scat = lambda init, vals: init.at[idx].set(
-            vals, mode="drop", indices_are_sorted=True, unique_indices=True)
-        tb = scat(jnp.full((n,), inf), tc)
-        nxb = scat(jnp.zeros((n,)), nxc)
-        nyb = scat(jnp.zeros((n,)), nyc)
-        nzb = scat(jnp.zeros((n,)), nzc)
-        matb = scat(jnp.zeros((n,)), matc)
-        pidb = scat(jnp.full((n,), -1.0), pidc)
-        chb = tuple(scat(jnp.zeros((n,)), c) for c in chc)
-        uvb = ()
+        # results ride back on the REVERSED shift steps (no scatters —
+        # same rewrite as the Pallas mesh pipe, ~80 -> 43 ms at 8M rays)
+        zeros = jnp.zeros((n,))
+        packed_res = (tc, nxc, nyc, nzc, matc, pidc) + chc
+        miss_res = (jnp.full((n,), inf), zeros, zeros, zeros, zeros,
+                    jnp.full((n,), -1.0)) + (zeros,) * len(chc)
         if with_uv:
-            uvb = (scat(jnp.zeros((n,)), uvc[0]),
-                   scat(jnp.zeros((n,)), uvc[1]),
-                   scat(jnp.full((n,), -1.0), uvc[2]))
-        return (tb, nxb, nyb, nzb, matb, pidb) + chb + uvb
+            packed_res = packed_res + uvc
+            miss_res = miss_res + (zeros, zeros, jnp.full((n,), -1.0))
+        return shift_unpack_channels(m, packed_res, miss_res, ridx=idx)
 
     def full_sweep(_):
         jax.debug.callback(_warn_compaction_overflow, n_hit, cap,
