@@ -423,6 +423,38 @@ def intersect_triangles_mesh(ma: MeshAccel, o: V3, d: V3, t_min: float,
     # TPU gathers run ~140M elem/s, ~105 ms at 8M rays vs ~25 ms shifted).
     pack_mode = os.environ.get("NR_MESH_PACK", "shift")
 
+    # Entry-cell SORT (round 3): pixel-scattered compacted rays saturate
+    # the sweep's per-tile block union (every 4096-ray tile touches every
+    # block — measured block=64 neutral, sub-AABBs pointless).  Sorting
+    # the compacted buffer by quantized box-entry cell (+ direction
+    # octant) makes tiles share block sets: sweep 79.6 -> 11 ms/M rays on
+    # realistic 16.8%-mask wavefronts, while the 8-channel lax.sort costs
+    # ~4.6 ms/M.  Results are unsorted by a second (unique-key) sort
+    # before the unpack.  NR_MESH_SORT=0 disables.
+    sort_rays = (pack_mode == "shift"
+                 and os.environ.get("NR_MESH_SORT", "1") != "0")
+
+    def entry_cell(oc, dc):
+        def axis(mn, mx, oo, dd):
+            inv = 1.0 / jnp.where(jnp.abs(dd) < 1e-20, 1e-20, dd)
+            t0 = (mn - oo) * inv
+            t1 = (mx - oo) * inv
+            return jnp.minimum(t0, t1), jnp.maximum(t0, t1)
+        ex0, _ = axis(mesh_min[0], mesh_max[0], oc.x, dc.x)
+        ey0, _ = axis(mesh_min[1], mesh_max[1], oc.y, dc.y)
+        ez0, _ = axis(mesh_min[2], mesh_max[2], oc.z, dc.z)
+        tn = jnp.maximum(
+            jnp.maximum(jnp.maximum(ex0, ey0), ez0), jnp.float32(t_min))
+        q = lambda v, mn, mx: jnp.clip(
+            ((v - mn) / (mx - mn) * 8).astype(jnp.int32), 0, 7)
+        cell = (q(oc.x + tn * dc.x, mesh_min[0], mesh_max[0]) * 64
+                + q(oc.y + tn * dc.y, mesh_min[1], mesh_max[1]) * 8
+                + q(oc.z + tn * dc.z, mesh_min[2], mesh_max[2]))
+        oct_ = ((dc.x > 0).astype(jnp.int32) * 4
+                + (dc.y > 0).astype(jnp.int32) * 2
+                + (dc.z > 0).astype(jnp.int32))
+        return cell * 8 + oct_
+
     def compacted(_):
         if pack_mode == "shift":
             (ox, oy, oz, dx, dy, dz, tcc), ridx, nh = shift_pack_channels(
@@ -435,9 +467,22 @@ def intersect_triangles_mesh(ma: MeshAccel, o: V3, d: V3, t_min: float,
             oc = V3(take(o.x), take(o.y), take(o.z))
             dc = V3(take(d.x), take(d.y), take(d.z))
             tc_cap = take(t_cap)
+        if sort_rays:
+            pslot = jnp.arange(cap, dtype=jnp.int32)
+            key = jnp.where(pslot < n_hit, entry_cell(oc, dc),
+                            jnp.int32(1 << 30))  # pads sort last
+            (_, ox, oy, oz, dx, dy, dz, tcc, p_carried) = jax.lax.sort(
+                (key, oc.x, oc.y, oc.z, dc.x, dc.y, dc.z, tc_cap, pslot),
+                num_keys=1)
+            oc, dc, tc_cap = V3(ox, oy, oz), V3(dx, dy, dz), tcc
         t, idx, nxs, nys, nzs, mat = sweep_mesh_full(
             ma.bt, oc, dc, t_min, t_cap=tc_cap, n_valid=n_hit,
             interpret=interpret)
+        if sort_rays:
+            # unsort: p_carried is a permutation of [0, cap) — a second
+            # unique-key sort restores pack-slot order for the unpack
+            (_, t, idx, nxs, nys, nzs, mat) = jax.lax.sort(
+                (p_carried, t, idx, nxs, nys, nzs, mat), num_keys=1)
         if pack_mode == "shift":
             # results ride back on the REVERSED shift steps — the 6
             # per-element scatter-backs were the pipe's single largest

@@ -174,3 +174,52 @@ def pack_only(c, o, d, t_dense, alive):
 timeit("full pipe, ALL outputs consumed", full_pipe_all, o, d, t_dense,
        alive)
 timeit("pack only (mask + shift pack)", pack_only, o, d, t_dense, alive)
+
+
+# --- round-4 question: does entry-cell sorting fix the block-union
+# saturation?  Sort the compacted population by quantized box-entry point
+# and compare sweep cost sorted vs unsorted, plus the sort's own cost.
+def entry_key(o, d):
+    def axis(mn, mx, oo, dd):
+        inv = 1.0 / jnp.where(jnp.abs(dd) < 1e-20, 1e-20, dd)
+        return (jnp.minimum((mn - oo) * inv, (mx - oo) * inv),
+                jnp.maximum((mn - oo) * inv, (mx - oo) * inv))
+    nx0, nx1 = axis(mesh_min[0], mesh_max[0], o.x, d.x)
+    ny0, ny1 = axis(mesh_min[1], mesh_max[1], o.y, d.y)
+    nz0, nz1 = axis(mesh_min[2], mesh_max[2], o.z, d.z)
+    t_near = jnp.maximum(jnp.maximum(jnp.maximum(nx0, ny0), nz0), t_min)
+    ex = o.x + t_near * d.x
+    ey = o.y + t_near * d.y
+    ez = o.z + t_near * d.z
+    q = lambda v, mn, mx: jnp.clip(
+        ((v - mn) / (mx - mn) * 8).astype(jnp.int32), 0, 7)
+    cell = (q(ex, mesh_min[0], mesh_max[0]) * 64
+            + q(ey, mesh_min[1], mesh_max[1]) * 8
+            + q(ez, mesh_min[2], mesh_max[2]))
+    # sub-key: entry direction octant for intra-cell coherence
+    oct_ = ((d.x > 0).astype(jnp.int32) * 4 + (d.y > 0).astype(jnp.int32)
+            * 2 + (d.z > 0).astype(jnp.int32))
+    return cell * 8 + oct_
+
+
+def sort_then_sweep(c, o, d, tc):
+    o2 = V3(o.x + c, o.y, o.z)
+    key = entry_key(o2, d)
+    key, ox, oy, oz, dx, dy, dz, tcs = jax.lax.sort(
+        (key, o2.x, o2.y, o2.z, d.x, d.y, d.z, tc), num_keys=1)
+    out = sweep_mesh_full(ma.bt, V3(ox, oy, oz), V3(dx, dy, dz), t_min,
+                          t_cap=tcs)
+    return c + out[0][0] * 0
+
+
+def sort_only(c, o, d, tc):
+    o2 = V3(o.x + c, o.y, o.z)
+    key = entry_key(o2, d)
+    out = jax.lax.sort((key, o2.x, o2.y, o2.z, d.x, d.y, d.z, tc),
+                       num_keys=1)
+    return c + out[1][0] * 0
+
+
+timeit(f"sort+sweep on cap buffer ({n_cap/1e6:.1f}M)", sort_then_sweep,
+       oc, dc, tc)
+timeit(f"sort only ({n_cap/1e6:.1f}M, 7 channels)", sort_only, oc, dc, tc)
