@@ -423,16 +423,18 @@ def intersect_triangles_mesh(ma: MeshAccel, o: V3, d: V3, t_min: float,
     # TPU gathers run ~140M elem/s, ~105 ms at 8M rays vs ~25 ms shifted).
     pack_mode = os.environ.get("NR_MESH_PACK", "shift")
 
-    # Entry-cell SORT (round 3): pixel-scattered compacted rays saturate
-    # the sweep's per-tile block union (every 4096-ray tile touches every
-    # block — measured block=64 neutral, sub-AABBs pointless).  Sorting
-    # the compacted buffer by quantized box-entry cell (+ direction
-    # octant) makes tiles share block sets: sweep 79.6 -> 11 ms/M rays on
-    # realistic 16.8%-mask wavefronts, while the 8-channel lax.sort costs
-    # ~4.6 ms/M.  Results are unsorted by a second (unique-key) sort
-    # before the unpack.  NR_MESH_SORT=0 disables.
+    # Entry-cell SORT (round 3, OFF by default): on a SHUFFLED all-hitting
+    # population, sorting the compacted buffer by quantized box-entry cell
+    # collapses the sweep's per-tile block union (79.6 -> 11 ms/M rays,
+    # sort ~4.6 ms/M — tools/perf/real_mask_bench.py).  But on the REAL
+    # bunny render it LOSES (13.0 -> 14.1 s whole-render): the stable
+    # shift pack preserves pixel order, so real bounce wavefronts are
+    # already tile-coherent and the two 8-channel sorts at cap=4M cost
+    # more than the residual divergence.  Kept behind NR_MESH_SORT=1 for
+    # scenes whose wavefronts genuinely shuffle (synthetic ray sets,
+    # secondary-bounce-heavy geometry).
     sort_rays = (pack_mode == "shift"
-                 and os.environ.get("NR_MESH_SORT", "1") != "0")
+                 and os.environ.get("NR_MESH_SORT", "0") != "0")
 
     def entry_cell(oc, dc):
         def axis(mn, mx, oo, dd):

@@ -177,3 +177,20 @@ def test_mesh_compaction_overflow_fallback(setup, monkeypatch):
     comp = mp.intersect_triangles_mesh(ma, o, dv, 1e-3, t_dense, ch)
     np.testing.assert_allclose(np.asarray(comp[0]), np.asarray(base[0]),
                                rtol=1e-6)
+
+
+def test_mesh_sort_mode_identical(setup, monkeypatch):
+    """NR_MESH_SORT=1 (entry-cell sorted sweep) must be bit-identical to
+    the unsorted default — the sort permutes sweep order only."""
+    import nrenderer_tpu.ops.mesh_pallas as mp
+
+    ma, ch, o, dv, blocked = setup
+    n = o.x.shape[0]
+    t_dense = jnp.full((n,), jnp.inf)
+    monkeypatch.setattr(mp, "MESH_COMPACT_MIN", 64)
+    monkeypatch.setenv("NR_MESH_SORT", "0")
+    a = mp.intersect_triangles_mesh(ma, o, dv, 1e-3, t_dense, ch)
+    monkeypatch.setenv("NR_MESH_SORT", "1")
+    b = mp.intersect_triangles_mesh(ma, o, dv, 1e-3, t_dense, ch)
+    for got, want in zip(a[:6], b[:6]):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
