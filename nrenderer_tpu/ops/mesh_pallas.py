@@ -420,8 +420,19 @@ def intersect_triangles_mesh(ma: MeshAccel, o: V3, d: V3, t_min: float,
     # Pack engine: "shift" (default) = log-shift compaction, ~23 roll+select
     # streaming passes, no gathers (ops/compact.shift_pack_channels);
     # "scatter" = cumsum-pack + 7 per-element gathers (the r3-early form;
-    # TPU gathers run ~140M elem/s, ~105 ms at 8M rays vs ~25 ms shifted).
+    # TPU gathers run ~140M elem/s, ~105 ms at 8M rays vs ~25 ms shifted);
+    # "row" = ROW-granular pack: gather whole 128-lane rows that contain
+    # any AABB hit (TPU moves whole rows ~45x faster than elements), dead
+    # lanes ride along with t_cap=0 and skip in-kernel.  Wins when the
+    # live mask is row-clustered (real bunny wavefronts: the mask is the
+    # mesh's screen footprint, measured ~60-128 live lanes per live row);
+    # each channel is read ONCE instead of 23 shift passes.
     pack_mode = os.environ.get("NR_MESH_PACK", "shift")
+    if pack_mode == "row":
+        if n % LANES == 0:
+            return _row_packed_sweep(ma, o, d, t_min, t_cap, m, cap,
+                                     mat_channels, interpret)
+        pack_mode = "shift"  # row granularity needs whole 128-lane rows
 
     # Entry-cell SORT (round 3, OFF by default): on a SHUFFLED all-hitting
     # population, sorting the compacted buffer by quantized box-entry cell
@@ -508,6 +519,65 @@ def intersect_triangles_mesh(ma: MeshAccel, o: V3, d: V3, t_min: float,
 
     t, idx, nxs, nys, nzs, mat = jax.lax.cond(
         n_hit > cap, full_sweep, compacted, operand=None)
+    miss = idx < 0
+    chans = _channels_from_mat(mat, miss, mat_channels)
+    pid = jnp.where(miss, -1.0, idx.astype(jnp.float32))
+    return t, nxs, nys, nzs, mat, pid, chans
+
+
+def _row_packed_sweep(ma: MeshAccel, o: V3, d: V3, t_min: float, t_cap,
+                      m, cap: int, mat_channels, interpret):
+    """Row-granular mesh compaction: pack whole 128-lane ROWS that contain
+    at least one AABB-hitting ray, sweep the packed buffer, scatter rows
+    back.  TPU row gathers (jnp.take along axis 0 of an (R, 128) view)
+    move ~45x more bytes/s than per-element gathers, and each channel is
+    read once — vs the log-shift pack's ~23 streaming passes (the pipe
+    drops from ~46 ms to a few ms at 8M rays when the mask is
+    row-clustered).  Dead lanes inside a live row ride along with
+    t_cap=0: the in-kernel per-block slab test rejects them for free, so
+    sweep work tracks the LIVE count, not the row count.
+
+    Correctness: per-ray sweep results depend only on the ray and the
+    (fixed) block order, not on buffer position, so outputs are
+    bit-identical to the element-packed engine.  Dead lanes inside
+    scattered-back rows receive the kernel's own miss fill (t=inf,
+    idx=-1, zeroed shading) — exactly the unpack's miss values — and
+    rows with no hit keep the init fill."""
+    n = o.x.shape[0]
+    rows = n // LANES
+    cap_rows = cap // LANES
+    m_rows = jnp.any(m.reshape(rows, LANES), axis=1)
+    n_live_rows = jnp.sum(m_rows.astype(jnp.int32))
+
+    def packed(_):
+        rix = pack_indices(m_rows, cap_rows)
+        g = jnp.clip(rix, 0, rows - 1)
+        take = lambda a: jnp.take(a.reshape(rows, LANES), g, axis=0,
+                                  mode="clip").reshape(cap)
+        oc = V3(take(o.x), take(o.y), take(o.z))
+        dc = V3(take(d.x), take(d.y), take(d.z))
+        tcc = take(t_cap)
+        # n_valid zeroes t_cap past the (row-aligned) live count, killing
+        # the clip-duplicated tail rows
+        t, idx, nxs, nys, nzs, mat = sweep_mesh_full(
+            ma.bt, oc, dc, t_min, t_cap=tcc, n_valid=n_live_rows * LANES,
+            interpret=interpret)
+        scat = lambda init, vals: init.reshape(rows, LANES).at[rix].set(
+            vals.reshape(cap_rows, LANES), mode="drop",
+            indices_are_sorted=True, unique_indices=True).reshape(n)
+        inf = jnp.float32(jnp.inf)
+        zeros = jnp.zeros((n,))
+        return (scat(jnp.full((n,), inf), t),
+                scat(jnp.full((n,), -1, jnp.int32), idx),
+                scat(zeros, nxs), scat(zeros, nys), scat(zeros, nzs),
+                scat(zeros, mat))
+
+    def full_sweep(_):
+        return sweep_mesh_full(ma.bt, o, d, t_min, t_cap=t_cap,
+                               interpret=interpret)
+
+    t, idx, nxs, nys, nzs, mat = jax.lax.cond(
+        n_live_rows > cap_rows, full_sweep, packed, operand=None)
     miss = idx < 0
     chans = _channels_from_mat(mat, miss, mat_channels)
     pid = jnp.where(miss, -1.0, idx.astype(jnp.float32))

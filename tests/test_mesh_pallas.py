@@ -162,6 +162,53 @@ def test_mesh_pack_modes_identical(setup, monkeypatch):
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
+def test_mesh_pack_row_mode_identical(setup, monkeypatch):
+    """NR_MESH_PACK=row (row-granular pack: whole 128-lane rows gathered,
+    dead lanes riding along with t_cap=0) must be bit-identical to the
+    element-packed default — per-ray sweep results don't depend on buffer
+    position.  Uses a 128-divisible slice with some rays flipped away from
+    the mesh so live and dead rows both occur."""
+    import nrenderer_tpu.ops.mesh_pallas as mp
+
+    ma, ch, o, dv, blocked = setup
+    n = (o.x.shape[0] // 128) * 128
+    flip = (jnp.arange(n) % 7 == 0) | (jnp.arange(n) // 128 % 3 == 0)
+    sgn = jnp.where(flip, -1.0, 1.0)
+    o2 = V3(o.x[:n], o.y[:n], o.z[:n])
+    d2 = V3(dv.x[:n] * sgn, dv.y[:n] * sgn, dv.z[:n] * sgn)
+    t_dense = jnp.full((n,), jnp.inf)
+    monkeypatch.setattr(mp, "MESH_COMPACT_MIN", 64)
+    monkeypatch.setenv("NR_MESH_PACK", "shift")
+    a = mp.intersect_triangles_mesh(ma, o2, d2, 1e-3, t_dense, ch)
+    monkeypatch.setenv("NR_MESH_PACK", "row")
+    b = mp.intersect_triangles_mesh(ma, o2, d2, 1e-3, t_dense, ch)
+    for got, want in zip(b[:6], a[:6]):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    for got, want in zip(b[6], a[6]):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    assert np.isfinite(np.asarray(a[0])).sum() > 500
+
+
+def test_mesh_pack_row_overflow_fallback(setup, monkeypatch):
+    """Row-mode overflow (more live rows than cap//128) falls back to the
+    full sweep — still exact."""
+    import nrenderer_tpu.ops.mesh_pallas as mp
+
+    ma, ch, o, dv, blocked = setup
+    n = (o.x.shape[0] // 128) * 128
+    o2 = V3(o.x[:n], o.y[:n], o.z[:n])
+    d2 = V3(dv.x[:n], dv.y[:n], dv.z[:n])
+    t_dense = jnp.full((n,), jnp.inf)
+    base = intersect_triangles_mesh(ma, o2, d2, 1e-3, t_dense, ch)
+    monkeypatch.setattr(mp, "MESH_COMPACT_MIN", 64)
+    monkeypatch.setenv("NR_MESH_PACK", "row")
+    # nearly every row is live in this fixture; a tiny cap must overflow
+    comp = mp.intersect_triangles_mesh(ma, o2, d2, 1e-3, t_dense, ch,
+                                       cap=1024)
+    np.testing.assert_allclose(np.asarray(comp[0]), np.asarray(base[0]),
+                               rtol=1e-6)
+
+
 def test_mesh_compaction_overflow_fallback(setup, monkeypatch):
     """When more rays hit the mesh AABB than the compact buffer holds, the
     lax.cond falls back to the full sweep — still exact."""
