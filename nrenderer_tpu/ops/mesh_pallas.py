@@ -502,6 +502,34 @@ def intersect_triangles_mesh(ma: MeshAccel, o: V3, d: V3, t_min: float,
             # cost once the pack went gather-free (~80 of 206 ms/bounce
             # at 8M rays, measured with all outputs consumed)
             zeros = jnp.zeros((n,))
+            # (idx, mat) fold: both are small non-negative ids, so
+            # mat * 2^17 + idx is EXACT in f32 when it stays below 2^24
+            # (the ids are static table data, checked at trace time) —
+            # one unpack channel instead of two, and the unpack is pure
+            # HBM streaming, so bytes are time (measured ~17% off the
+            # unpack, tools/perf/pack_bench.py --unpack).
+            try:
+                # the accel is normally a trace-time CONSTANT (renderers
+                # close over it); a traced accel (equality tests jit it as
+                # an argument) has no concrete ids — skip the fold there
+                pid_max = float(np.max(ma.bt.pid))
+            except Exception:
+                pid_max = float("inf")
+            fold = pid_max < 131071.5 and len(mat_channels) <= 128
+            if fold:
+                code = jnp.where(idx >= 0,
+                                 mat * 131072.0 + idx.astype(jnp.float32),
+                                 -1.0)
+                t, code, nxs, nys, nzs = shift_unpack_channels(
+                    m, (t, code, nxs, nys, nzs),
+                    (jnp.full((n,), inf), jnp.full((n,), -1.0),
+                     zeros, zeros, zeros), ridx=ridx)
+                hitm = code >= 0
+                mat = jnp.where(hitm, jnp.floor(code * (1.0 / 131072.0)),
+                                0.0)
+                idx = jnp.where(hitm, code - mat * 131072.0,
+                                -1.0).astype(jnp.int32)
+                return t, idx, nxs, nys, nzs, mat
             return shift_unpack_channels(
                 m, (t, idx, nxs, nys, nzs, mat),
                 (jnp.full((n,), inf), jnp.full((n,), -1, jnp.int32),
