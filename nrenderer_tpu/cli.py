@@ -37,6 +37,14 @@ def _build_scene(args):
     ro.height = args.height
     ro.depth = args.depth
     ro.samples_per_pixel = args.spp
+    # global microfacet knobs (reference RenderSettingsManager.hpp:15-17);
+    # None = unset, per-material properties win (scene/model.RenderOption)
+    if getattr(args, "roughness", None) is not None:
+        ro.roughness = args.roughness
+    if getattr(args, "f0", None) is not None:
+        ro.f0 = args.f0
+    if getattr(args, "metalness", None) is not None:
+        ro.metalness = args.metalness
     cam = scene.camera
     if args.camera_position:
         cam.position = tuple(args.camera_position)
@@ -264,6 +272,13 @@ def main(argv=None) -> int:
     pr.add_argument("--ambient", nargs=3, type=float,
                     help="constant ambient RGB")
     pr.add_argument("--env-map", help="environment map image")
+    pr.add_argument("--roughness", type=float,
+                    help="global microfacet roughness override "
+                         "(reference RenderSettings global, now live)")
+    pr.add_argument("--f0", type=float,
+                    help="global microfacet F0 override")
+    pr.add_argument("--metalness", type=float,
+                    help="global microfacet metalness override")
     pr.add_argument("--seed", type=int, default=0)
     pr.add_argument("--progressive", action="store_true",
                     help="render in passes with live Screen previews "

@@ -8,8 +8,13 @@ Reimplements the capability of the reference's `ObjImporter`
     (the reference raises "Only Triangulated mesh is supported!")
   - per-object index remapping: global OBJ indices are compacted into
     per-mesh position/uv/normal pools (reference `ObjImporter.cpp:192-196`)
-  - MTL subset: `newmtl`, `Kd`, `Ks`, `Ns`, `map_Kd` -> a Phong-typed material
-    (type=1, `ObjImporter.cpp:52-61`); unknown keys ignored
+  - MTL subset: `newmtl`, `Kd`, `Ks`, `Ns`, `map_Kd`, `map_Ks`,
+    `map_bump`/`bump` -> a Phong-typed material (type=1,
+    `ObjImporter.cpp:52-61`); unknown keys ignored.  `map_Kd` feeds the
+    diffuse lobes and `map_Ks` the specular lobes (conductor/microfacet/
+    plastic albedo) — the reference loads both but never samples either;
+    `map_bump` is stored (`bumpMap` property + mat_params column) for
+    parity but not yet shaded.
 
 All buffers land in the same Scene structures the `.scn` parser fills, so the
 two importers compose (reference `SceneImporterFactory`)."""
@@ -51,6 +56,22 @@ def _parse_face_vertex(tok: str):
         raise ObjParseError(f"Bad face vertex: {tok!r}") from exc
 
 
+def _load_map(scene: Scene, mtl_path: str, tex_name: str,
+              material: Material, prop_name: str) -> None:
+    """Decode a texture referenced from an MTL line and attach it to
+    `material` as a TEXTURE_ID property; silently skipped when the image
+    is missing/undecodable (reference behavior for a bad stb load)."""
+    tex_path = os.path.join(os.path.dirname(mtl_path), tex_name)
+    pixels = load_image(tex_path)
+    if pixels is None:
+        return
+    tex_idx = len(scene.textures)
+    scene.textures.append(
+        Texture(name=os.path.basename(tex_path), pixels=pixels))
+    material.register_property(Property(
+        prop_name, PropertyType.TEXTURE_ID, tex_idx))
+
+
 def _parse_mtl(scene: Scene, path: str, mtl_map: Dict[str, int]) -> None:
     if not os.path.exists(path):
         return  # reference silently skips a missing .mtl
@@ -86,14 +107,13 @@ def _parse_mtl(scene: Scene, path: str, mtl_map: Dict[str, int]) -> None:
                 current.register_property(Property(
                     "specularEx", PropertyType.FLOAT, float(parts[1])))
             elif key == "map_kd" and len(parts) >= 2:
-                tex_path = os.path.join(os.path.dirname(path), parts[-1])
-                pixels = load_image(tex_path)
-                if pixels is not None:
-                    tex_idx = len(scene.textures)
-                    scene.textures.append(
-                        Texture(name=os.path.basename(tex_path), pixels=pixels))
-                    current.register_property(Property(
-                        "diffuseMap", PropertyType.TEXTURE_ID, tex_idx))
+                _load_map(scene, path, parts[-1], current, "diffuseMap")
+            elif key == "map_ks" and len(parts) >= 2:
+                # reference `ObjImporter.cpp:56-58` loads map_Ks the same way
+                _load_map(scene, path, parts[-1], current, "specularMap")
+            elif key in ("map_bump", "bump") and len(parts) >= 2:
+                # reference `ObjImporter.cpp:59-61`; stored, not yet shaded
+                _load_map(scene, path, parts[-1], current, "bumpMap")
 
 
 def _load_obj_native(path: str, scene: Scene,

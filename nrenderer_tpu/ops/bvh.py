@@ -372,7 +372,12 @@ def pack_blocked_triangles(scene_arrays, mat_channels,
     uv_kw = {}
     tex_col = np.asarray(getattr(a, "tri_tex", np.full(v1.shape[0], -1)),
                          np.float32)
-    if (tex_col[valid] >= 0).any():
+    stex_col = np.asarray(getattr(a, "tri_stex", np.full(v1.shape[0], -1)),
+                          np.float32)
+    # faces carrying EITHER map need interpolated UVs; the diffuse tex id
+    # rides the per-face table, the specularMap id rides the material
+    # channels (pt_core.make_mat_channels)
+    if (tex_col[valid] >= 0).any() or (stex_col[valid] >= 0).any():
         uv1 = np.asarray(a.tri_uv1, np.float32)
         ue1 = np.asarray(a.tri_uve1, np.float32)
         ue2 = np.asarray(a.tri_uve2, np.float32)

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from ..scene.arrays import (
     MAT_ABSORBED, MAT_ALBEDO, MAT_DIFFUSE, MAT_DIFFUSE_MAP, MAT_ETA_I,
     MAT_ETA_R, MAT_F0, MAT_IOR, MAT_METALNESS, MAT_ROUGHNESS, MAT_SPECULAR,
-    MAT_SPECULAR_EX, SceneArrays,
+    MAT_SPECULAR_EX, MAT_SPECULAR_MAP, SceneArrays,
 )
 from .soa import (
     V3, cross3, dot3, one_hot_argmin, select_prim, select_prim3, splat,
@@ -295,9 +295,10 @@ class StaticScene(NamedTuple):
     ambient_constant: tuple
     n_mats: int
     # per-tri texture coords, parallel to `tri`: (u1x, u1y, e1x, e1y,
-    # e2x, e2y, tex_id) plain-float tuples; () when the scene has no
-    # textured faces (texture PIXELS are traced args, never baked here —
-    # this struct's repr is the compile-cache fingerprint)
+    # e2x, e2y, tex_id, stex_id) plain-float tuples; () when the scene has
+    # no textured faces (texture PIXELS are traced args, never baked here —
+    # this struct's repr is the compile-cache fingerprint).  tex_id is the
+    # diffuseMap, stex_id the specularMap (map_Ks); either may be -1.
     tri_uv: tuple = ()
 
 
@@ -335,15 +336,21 @@ def make_static_scene(scene_arrays: SceneArrays) -> StaticScene:
             "roughness": float(mp[mi, MAT_ROUGHNESS]),
             "f0": float(mp[mi, MAT_F0]),
             "metalness": float(mp[mi, MAT_METALNESS]),
+            "stex": (float(mp[mi, MAT_SPECULAR_MAP])
+                     if mp.shape[1] > MAT_SPECULAR_MAP else -1.0),
         })
     tri_uv = ()
-    if hasattr(a, "tri_tex") and np.any(f(a.tri_tex)[f(a.tri_valid)] >= 0):
+    stex_col = (f(a.tri_stex) if hasattr(a, "tri_stex")
+                else np.full(f(a.tri_valid).shape, -1, np.int32))
+    if hasattr(a, "tri_tex") and np.any(
+            (f(a.tri_tex)[f(a.tri_valid)] >= 0)
+            | (stex_col[f(a.tri_valid)] >= 0)):
         tri_uv = tuple(
             (float(u1[0]), float(u1[1]), float(e1[0]), float(e1[1]),
-             float(e2[0]), float(e2[1]), int(tx))
-            for u1, e1, e2, tx, v in zip(f(a.tri_uv1), f(a.tri_uve1),
-                                         f(a.tri_uve2), f(a.tri_tex),
-                                         f(a.tri_valid)) if v)
+             float(e2[0]), float(e2[1]), int(tx), int(sx))
+            for u1, e1, e2, tx, sx, v in zip(f(a.tri_uv1), f(a.tri_uve1),
+                                             f(a.tri_uve2), f(a.tri_tex),
+                                             stex_col, f(a.tri_valid)) if v)
     return StaticScene(sph=sph, tri=tri, pln=pln, al=al, mats=mats,
                        ambient_type=int(a.ambient_type),
                        ambient_constant=tuple(f(a.ambient_constant)),
@@ -483,8 +490,9 @@ def intersect_scene_unrolled(ss: StaticScene, o: V3, d: V3,
         ok = ((det >= 1e-6) & (u >= 0) & (u <= det) & (v >= 0)
               & (u + v <= det) & (w >= t_min))
         uv_vals = None
-        if with_uv and ti < len(ss.tri_uv) and ss.tri_uv[ti][6] >= 0:
-            u1x, u1y, e1x, e1y, e2x, e2y, tex = ss.tri_uv[ti]
+        if with_uv and ti < len(ss.tri_uv) and (
+                ss.tri_uv[ti][6] >= 0 or ss.tri_uv[ti][7] >= 0):
+            u1x, u1y, e1x, e1y, e2x, e2y, tex = ss.tri_uv[ti][:7]
             inv_det = 1.0 / jnp.where(det == 0, 1.0, det)
             b1 = u * inv_det
             b2 = v * inv_det

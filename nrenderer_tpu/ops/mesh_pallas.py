@@ -506,16 +506,20 @@ def intersect_triangles_mesh(ma: MeshAccel, o: V3, d: V3, t_min: float,
             # mat * 2^17 + idx is EXACT in f32 when it stays below 2^24
             # (the ids are static table data, checked at trace time) —
             # one unpack channel instead of two, and the unpack is pure
-            # HBM streaming, so bytes are time (measured ~17% off the
-            # unpack, tools/perf/pack_bench.py --unpack).
+            # HBM streaming, so bytes are time (~17%: one of six equal-
+            # width unpack channels dropped; the per-channel split is in
+            # the r3 profiler trace, tools/perf/trace_mesh.py).
             try:
                 # the accel is normally a trace-time CONSTANT (renderers
                 # close over it); a traced accel (equality tests jit it as
                 # an argument) has no concrete ids — skip the fold there
                 pid_max = float(np.max(ma.bt.pid))
+                mat_max = float(np.max(ma.bt.mat))
             except Exception:
-                pid_max = float("inf")
-            fold = pid_max < 131071.5 and len(mat_channels) <= 128
+                pid_max = mat_max = float("inf")
+            # exactness precondition checked on the CONCRETE ids:
+            # mat * 2^17 + pid < 2^24  <=>  mat <= 127 given pid < 2^17
+            fold = pid_max < 131071.5 and mat_max < 127.5
             if fold:
                 code = jnp.where(idx >= 0,
                                  mat * 131072.0 + idx.astype(jnp.float32),

@@ -536,7 +536,14 @@ def plastic_scatter(d: V3, normal: V3, diffuse: V3, specular: V3, ior,
 def make_mat_channels(ss: StaticScene):
     """Per-material constant tuples for the unrolled channel tracker:
     (type, diffuse rgb, albedo rgb, ior, absorbed rgb, eta_r rgb, eta_i rgb,
-     roughness, f0, metalness) = 17 channels."""
+     roughness, f0, metalness) = 20 channels; +1 `stex` channel (the
+    material's specularMap/map_Ks texture id, -1 = none) appended ONLY when
+    the scene actually carries a specular map on a UV'd face — the extra
+    carried vreg is free for every other scene.  The decision is a function
+    of `ss` alone, so every caller sharing the StaticScene agrees on the
+    channel count (bsdf_bounce detects it by len)."""
+    with_stex = bool(ss.tri_uv) and any(
+        float(m.get("stex", -1.0)) >= 0.0 for m in ss.mats)
     ch = []
     for m in ss.mats:
         ch.append((float(m["type"]),)
@@ -547,7 +554,8 @@ def make_mat_channels(ss: StaticScene):
                   + tuple(float(x) for x in m["eta_r"])
                   + tuple(float(x) for x in m["eta_i"])
                   + (float(m["roughness"]), float(m["f0"]),
-                     float(m["metalness"])))
+                     float(m["metalness"]))
+                  + ((float(m.get("stex", -1.0)),) if with_stex else ()))
     return ch
 
 
@@ -574,15 +582,24 @@ def bsdf_bounce(ss: StaticScene, mat_ch, o: V3, d: V3, throughput: V3,
                   radiance.z + lw * throughput.z * light_rad.z)
 
     (mtype, dr, dg, db, ar, ag, ab_, ior, absr, absg, absb,
-     err, erg, erb, eir, eig, eib, rough, f0, metal) = hit.channels
+     err, erg, erb, eir, eig, eib, rough, f0, metal) = hit.channels[:20]
+    stex = hit.channels[20] if len(hit.channels) > 20 else None
     diffuse = V3(dr, dg, db)
+    albedo = V3(ar, ag, ab_)
     if textures:
         if callable(textures):  # in-kernel binned resolver (pt_pallas)
             diffuse = textures(hit.uv, diffuse)
+            if stex is not None:
+                albedo = textures((hit.uv[0], hit.uv[1], stex), albedo)
         else:
             from .texture import resolve_diffuse
             diffuse = resolve_diffuse(textures, hit.uv, diffuse)
-    albedo = V3(ar, ag, ab_)
+            if stex is not None:
+                # map_Ks modulates the specular tint (conductor/microfacet/
+                # plastic albedo) — exceeds the reference, which loads
+                # map_Ks (`ObjImporter.cpp:56-58`) but never samples it
+                albedo = resolve_diffuse(
+                    textures, (hit.uv[0], hit.uv[1], stex), albedo)
     absorbed = V3(absr, absg, absb)
     eta_r = V3(err, erg, erb)
     eta_i = V3(eir, eig, eib)

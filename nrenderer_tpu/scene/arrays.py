@@ -44,7 +44,9 @@ MAT_ROUGHNESS = 20               # roughness      (Microfacet), default 0.2
 MAT_F0 = 21                      # F0             (Microfacet), default 0.04
 MAT_METALNESS = 22               # metalness      (Microfacet), reference file-const 0.2
 MAT_DIFFUSE_MAP = 23             # diffuseMap texture id, -1 = none
-MAT_NPARAMS = 24
+MAT_SPECULAR_MAP = 24            # specularMap (map_Ks) texture id, -1 = none
+MAT_BUMP_MAP = 25                # bumpMap (map_bump) texture id, -1 = none
+MAT_NPARAMS = 26
 
 
 class SceneArrays(NamedTuple):
@@ -68,7 +70,8 @@ class SceneArrays(NamedTuple):
     tri_uv1: jnp.ndarray        # (T, 2)  uv at v1
     tri_uve1: jnp.ndarray       # (T, 2)  uv(v2) - uv(v1)
     tri_uve2: jnp.ndarray       # (T, 2)  uv(v3) - uv(v1)
-    tri_tex: jnp.ndarray        # (T,) int32 texture id, -1 = none
+    tri_tex: jnp.ndarray        # (T,) int32 diffuseMap texture id, -1 = none
+    tri_stex: jnp.ndarray       # (T,) int32 specularMap texture id, -1 = none
     # planes (parallelogram patches)
     pln_pos: jnp.ndarray        # (P, 3)
     pln_normal: jnp.ndarray     # (P, 3)
@@ -138,7 +141,14 @@ def _safe_inv_columns(u: np.ndarray, v: np.ndarray) -> np.ndarray:
     return inv
 
 
-def _pack_material(mat) -> Tuple[int, np.ndarray]:
+def _pack_material(mat, textures=(),
+                   overrides=None) -> Tuple[int, np.ndarray]:
+    """`overrides`: the RenderOption's global roughness/f0/metalness knobs
+    (None fields = unset).  The reference surfaces these as UI-global
+    RenderSettings (`RenderSettingsManager.hpp:9-29`) that its shipped
+    shaders never read; here a SET knob overrides the per-material value
+    (tested in test_builder.py) so the config surface is live, and an unset
+    knob preserves the reference shader constants (Microfacet.cpp:10-12)."""
     p = np.zeros((MAT_NPARAMS,), dtype=np.float64)
     p[MAT_DIFFUSE] = _vec(mat.get_property("diffuseColor", PropertyType.RGB)
                           or (1.0, 1.0, 1.0))
@@ -177,8 +187,24 @@ def _pack_material(mat) -> Tuple[int, np.ndarray]:
     p[MAT_F0] = 0.04 if f0 is None else f0
     metal = mat.get_property("metalness", PropertyType.FLOAT)
     p[MAT_METALNESS] = 0.2 if metal is None else metal  # acc Microfacet.cpp:11
-    dmap = mat.get_property("diffuseMap", PropertyType.TEXTURE_ID)
-    p[MAT_DIFFUSE_MAP] = -1.0 if dmap is None else float(dmap)
+    if overrides is not None:
+        if overrides.roughness is not None:
+            p[MAT_ROUGHNESS] = overrides.roughness
+        if overrides.f0 is not None:
+            p[MAT_F0] = overrides.f0
+        if overrides.metalness is not None:
+            p[MAT_METALNESS] = overrides.metalness
+
+    def tex_id(prop_name: str) -> float:
+        tid = mat.get_property(prop_name, PropertyType.TEXTURE_ID)
+        if (tid is None or not (0 <= int(tid) < len(textures))
+                or textures[int(tid)].pixels is None):
+            return -1.0
+        return float(int(tid))
+
+    p[MAT_DIFFUSE_MAP] = tex_id("diffuseMap")
+    p[MAT_SPECULAR_MAP] = tex_id("specularMap")
+    p[MAT_BUMP_MAP] = tex_id("bumpMap")
     return mat.type, p
 
 
@@ -200,26 +226,27 @@ def build_scene_arrays(scene: Scene, dtype=jnp.float32) -> SceneArrays:
 
     sph_pos, sph_rad, sph_mat = [], [], []
     tri_v1, tri_v2, tri_v3, tri_n, tri_mat = [], [], [], [], []
-    tri_uv1, tri_uve1, tri_uve2, tri_tex = [], [], [], []
+    tri_uv1, tri_uve1, tri_uve2, tri_tex, tri_stex = [], [], [], [], []
     pln_pos, pln_n, pln_u, pln_v, pln_mat = [], [], [], [], []
 
-    def _mat_tex(mat_idx: int) -> int:
-        """diffuseMap texture id of material `mat_idx`, -1 if none/unusable."""
+    def _mat_tex(mat_idx: int, prop_name: str = "diffuseMap") -> int:
+        """Texture id of `prop_name` on material `mat_idx`, -1 if unusable."""
         if not (0 <= mat_idx < len(scene.materials)):
             return -1
-        dmap = scene.materials[mat_idx].get_property(
-            "diffuseMap", PropertyType.TEXTURE_ID)
-        if dmap is None or not (0 <= int(dmap) < len(scene.textures)):
+        tid = scene.materials[mat_idx].get_property(
+            prop_name, PropertyType.TEXTURE_ID)
+        if tid is None or not (0 <= int(tid) < len(scene.textures)):
             return -1
-        if scene.textures[int(dmap)].pixels is None:
+        if scene.textures[int(tid)].pixels is None:
             return -1
-        return int(dmap)
+        return int(tid)
 
     def _no_uv(count: int = 1):
         tri_uv1.extend([np.zeros(2)] * count)
         tri_uve1.extend([np.zeros(2)] * count)
         tri_uve2.extend([np.zeros(2)] * count)
         tri_tex.extend([-1] * count)
+        tri_stex.extend([-1] * count)
 
     for node in scene.nodes:
         if node.type == NodeType.SPHERE:
@@ -262,9 +289,10 @@ def build_scene_arrays(scene: Scene, dtype=jnp.float32) -> SceneArrays:
             tri_n.extend(n)
             tri_mat.extend([mesh.material] * idx.shape[0])
             tex_id = _mat_tex(mesh.material)
+            stex_id = _mat_tex(mesh.material, "specularMap")
             uvs = np.asarray(mesh.uvs, np.float64).reshape(-1, 2)
             uvi = np.asarray(mesh.uv_indices, np.int64).reshape(-1)
-            if (tex_id >= 0 and uvs.shape[0]
+            if ((tex_id >= 0 or stex_id >= 0) and uvs.shape[0]
                     and uvi.shape[0] == idx.size):
                 uvi = uvi.reshape(-1, 3)
                 u1 = uvs[uvi[:, 0]]
@@ -272,6 +300,7 @@ def build_scene_arrays(scene: Scene, dtype=jnp.float32) -> SceneArrays:
                 tri_uve1.extend(uvs[uvi[:, 1]] - u1)
                 tri_uve2.extend(uvs[uvi[:, 2]] - u1)
                 tri_tex.extend([tex_id] * idx.shape[0])
+                tri_stex.extend([stex_id] * idx.shape[0])
             else:
                 _no_uv(idx.shape[0])
 
@@ -296,6 +325,10 @@ def build_scene_arrays(scene: Scene, dtype=jnp.float32) -> SceneArrays:
     if tri_tex_a.shape[0] > len(tri_tex):  # padded rows have no texture
         tri_tex_a = tri_tex_a.copy()
         tri_tex_a[len(tri_tex):] = -1
+    tri_stex_a, _ = _pad_rows(np.asarray(tri_stex, np.int32).reshape(-1))
+    if tri_stex_a.shape[0] > len(tri_stex):
+        tri_stex_a = tri_stex_a.copy()
+        tri_stex_a[len(tri_stex):] = -1
 
     pln_pos_a, pln_valid = _pad_rows(rows(pln_pos))
     pln_n_a, _ = _pad_rows(rows(pln_n))
@@ -333,13 +366,17 @@ def build_scene_arrays(scene: Scene, dtype=jnp.float32) -> SceneArrays:
 
     # materials
     if scene.materials:
-        packed = [_pack_material(m) for m in scene.materials]
+        packed = [_pack_material(m, scene.textures, scene.render_option)
+                  for m in scene.materials]
         mat_type = np.asarray([t for t, _ in packed], np.int32)
         mat_params = np.stack([p for _, p in packed])
     else:
         mat_type = np.zeros((1,), np.int32)
         mat_params = np.zeros((1, MAT_NPARAMS))
         mat_params[0, MAT_DIFFUSE] = 1.0
+        mat_params[0, MAT_DIFFUSE_MAP] = -1.0
+        mat_params[0, MAT_SPECULAR_MAP] = -1.0
+        mat_params[0, MAT_BUMP_MAP] = -1.0
 
     # ambient / environment map
     amb = scene.ambient
@@ -375,6 +412,7 @@ def build_scene_arrays(scene: Scene, dtype=jnp.float32) -> SceneArrays:
         tri_mat=i32(tri_mat_a), tri_valid=b(tri_valid),
         tri_uv1=f(tri_uv1_a), tri_uve1=f(tri_uve1_a),
         tri_uve2=f(tri_uve2_a), tri_tex=i32(tri_tex_a),
+        tri_stex=i32(tri_stex_a),
         pln_pos=f(pln_pos_a), pln_normal=f(pln_n_a), pln_inv=f(pln_inv),
         pln_mat=i32(pln_mat_a), pln_valid=b(pln_valid),
         al_pos=f(al_pos_a), al_u=f(al_u_a), al_v=f(al_v_a),

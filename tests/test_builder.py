@@ -58,3 +58,33 @@ def test_templates():
     # dedup semantics preserved
     from nrenderer_tpu import Property, PropertyType
     assert not m.register_property(Property("ior", PropertyType.FLOAT, 2.0))
+
+
+def test_global_microfacet_knob_overrides():
+    """RenderOption.roughness/f0/metalness (the reference's global
+    RenderSettings knobs, dead in its shipped shaders) override the
+    per-material microfacet parameters when SET; None (default) keeps
+    per-material values (VERDICT r3 #10: wire the dead knobs)."""
+    from nrenderer_tpu import build_scene_arrays
+    from nrenderer_tpu.scene.arrays import (
+        MAT_F0, MAT_METALNESS, MAT_ROUGHNESS,
+    )
+    from nrenderer_tpu.scene.model import Property, PropertyType
+    import numpy as np
+
+    s = parse_scn(GOOD)
+    s.materials[0].register_property(
+        Property("roughness", PropertyType.FLOAT, 0.7))
+
+    mp = np.asarray(build_scene_arrays(s).mat_params)
+    assert mp[0, MAT_ROUGHNESS] == pytest.approx(0.7)   # per-material
+    assert mp[0, MAT_F0] == pytest.approx(0.04)          # reference const
+    assert mp[0, MAT_METALNESS] == pytest.approx(0.2)    # Microfacet.cpp:11
+
+    s.render_option.roughness = 0.33
+    s.render_option.f0 = 0.08
+    s.render_option.metalness = 0.9
+    mp = np.asarray(build_scene_arrays(s).mat_params)
+    assert (mp[:, MAT_ROUGHNESS] == pytest.approx(0.33))
+    assert (mp[:, MAT_F0] == pytest.approx(0.08))
+    assert (mp[:, MAT_METALNESS] == pytest.approx(0.9))

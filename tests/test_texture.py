@@ -113,6 +113,124 @@ def test_textured_obj_render(tmp_path):
     assert right[..., 1].mean() > 2.0 * right[..., 0].mean()
 
 
+def test_mtl_map_ks_bump_parse(tmp_path):
+    """map_Kd/map_Ks/map_bump all parse into texture-id properties and
+    mat_params columns (reference `ObjImporter.cpp:52-61` loads all three;
+    VERDICT r3 #9)."""
+    from nrenderer_tpu.scene.arrays import (
+        MAT_BUMP_MAP, MAT_DIFFUSE_MAP, MAT_SPECULAR_MAP,
+    )
+    from nrenderer_tpu.scene.model import PropertyType
+
+    _texture_png(tmp_path / "kd.png")
+    _texture_png(tmp_path / "ks.png")
+    _texture_png(tmp_path / "bump.png")
+    (tmp_path / "m.mtl").write_text(
+        "newmtl m\nKd 1 1 1\nmap_Kd kd.png\nmap_Ks ks.png\n"
+        "map_bump bump.png\n")
+    (tmp_path / "m.obj").write_text(
+        "mtllib m.mtl\n"
+        "v -1 -1 0\nv 1 -1 0\nv 1 1 0\n"
+        "vt 0 0\nvt 1 0\nvt 1 1\n"
+        "usemtl m\n"
+        "f 1/1 2/2 3/3\n")
+    scene = load_obj(str(tmp_path / "m.obj"))
+    mat = scene.materials[0]
+    assert mat.get_property("diffuseMap", PropertyType.TEXTURE_ID) == 0
+    assert mat.get_property("specularMap", PropertyType.TEXTURE_ID) == 1
+    assert mat.get_property("bumpMap", PropertyType.TEXTURE_ID) == 2
+    assert len(scene.textures) == 3
+
+    arr = build_scene_arrays(scene)
+    mp = np.asarray(arr.mat_params)
+    assert mp[0, MAT_DIFFUSE_MAP] == 0
+    assert mp[0, MAT_SPECULAR_MAP] == 1
+    assert mp[0, MAT_BUMP_MAP] == 2
+    valid = np.asarray(arr.tri_valid)
+    assert (np.asarray(arr.tri_tex)[valid] == 0).all()
+    assert (np.asarray(arr.tri_stex)[valid] == 1).all()
+
+
+def _spec_mapped_mirror_scene(tmp_path, n=1):
+    """An n x n-subdivided quad with a CONDUCTOR material whose specular
+    tint comes from a left-red / right-green map_Ks, plus a large area
+    light the mirrored camera rays land on."""
+    from nrenderer_tpu.scene.model import AreaLight, Property, PropertyType
+
+    _texture_png(tmp_path / "ks.png")
+    (tmp_path / "mirror.mtl").write_text(
+        "newmtl mirror\nKd 0 0 0\nmap_Ks ks.png\n")
+    verts, uvs, faces = [], [], []
+    for j in range(n + 1):
+        for i in range(n + 1):
+            verts.append((i / n * 2 - 1, j / n * 2 - 1, 0.0))
+            uvs.append((i / n, j / n))
+    for j in range(n):
+        for i in range(n):
+            a = j * (n + 1) + i + 1
+            b, c_, d_ = a + 1, a + n + 2, a + n + 1
+            faces.append((a, b, c_))
+            faces.append((a, c_, d_))
+    lines = ["mtllib mirror.mtl"]
+    lines += [f"v {x} {y} {z}" for x, y, z in verts]
+    lines += [f"vt {u} {v}" for u, v in uvs]
+    lines.append("usemtl mirror")
+    lines += [f"f {a}/{a} {b}/{b} {c}/{c}" for a, b, c in faces]
+    (tmp_path / "mirror.obj").write_text("\n".join(lines) + "\n")
+
+    scene = load_obj(str(tmp_path / "mirror.obj"))
+    mat = scene.materials[0]
+    mat.type = 1  # conductor (acc ShaderCreator mapping)
+    mat.register_property(Property("eta_r", PropertyType.VEC3,
+                                   (0.2, 0.2, 0.2)))
+    mat.register_property(Property("eta_i", PropertyType.VEC3,
+                                   (3.0, 3.0, 3.0)))
+    mat.register_property(Property("albedo", PropertyType.RGB,
+                                   (1.0, 1.0, 1.0)))
+    # big light plane at z=+5: every camera ray mirrored off the quad
+    # (normal +z) lands on it
+    scene.area_light_buffer.append(AreaLight(
+        position=(-10.0, -10.0, 5.0), u=(20.0, 0.0, 0.0),
+        v=(0.0, 20.0, 0.0), radiance=(4.0, 4.0, 4.0)))
+    scene.camera.position = (0.0, 0.0, 4.0)
+    scene.camera.look_at = (0.0, 0.0, 0.0)
+    ro = scene.render_option
+    ro.width = ro.height = 32
+    ro.samples_per_pixel = 16
+    ro.depth = 3
+    return scene
+
+
+def test_specular_map_unrolled_path(tmp_path):
+    """map_Ks modulates the conductor lobe through the unrolled (small
+    scene) engine: the mirror quad reflects the light tinted left-red /
+    right-green."""
+    from nrenderer_tpu.renderers.acc_pt import AccPathTracerRenderer
+
+    scene = _spec_mapped_mirror_scene(tmp_path, n=1)
+    img = AccPathTracerRenderer(seed=0).render(scene).pixels[..., :3]
+    left = img[8:24, 4:14]
+    right = img[8:24, 18:28]
+    assert left[..., 0].mean() > 2.0 * left[..., 1].mean()
+    assert right[..., 1].mean() > 2.0 * right[..., 0].mean()
+
+
+@pytest.mark.slow
+def test_specular_map_mesh_grid(tmp_path):
+    """VERDICT r3 #9 'textured-grid test with a specular map': the 128-face
+    grid takes the blocked mesh sweep (>BVH_THRESHOLD) and map_Ks still
+    reaches the conductor lobe (spec-tex id rides the material channels,
+    UVs the per-face tables)."""
+    from nrenderer_tpu.renderers.acc_pt import AccPathTracerRenderer
+
+    scene = _spec_mapped_mirror_scene(tmp_path, n=8)
+    img = AccPathTracerRenderer(seed=0).render(scene).pixels[..., :3]
+    left = img[8:24, 4:14]
+    right = img[8:24, 18:28]
+    assert left[..., 0].mean() > 2.0 * left[..., 1].mean()
+    assert right[..., 1].mean() > 2.0 * right[..., 0].mean()
+
+
 @pytest.mark.slow
 def test_textured_mesh_bvh_path(tmp_path):
     """Textures survive the BlockedTris mesh sweep (>BVH_THRESHOLD tris):
