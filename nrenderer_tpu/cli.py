@@ -101,7 +101,8 @@ def _cmd_render(args) -> int:
                                        mutations=args.mutations,
                                        checkpoint_path=args.checkpoint)
     elif args.renderer == "SimplePathTracer" and (args.progressive
-                                                  or args.checkpoint):
+                                                  or args.checkpoint
+                                                  or args.serve is not None):
         from .renderers.simple_pt import SimplePathTracerRenderer
         component = SimplePathTracerRenderer(
             seed=args.seed, checkpoint_path=args.checkpoint,
@@ -112,6 +113,15 @@ def _cmd_render(args) -> int:
             seed=args.seed, checkpoint_path=args.checkpoint)
 
     mgr = ComponentManager()
+    viewer = None
+    if args.serve is not None:
+        # live viewer (VERDICT r3 #8): the headless ScreenView analogue —
+        # watch progressive previews refresh in a browser while the render
+        # runs (reference ScreenView.cpp:98-178)
+        from .server.viewer import ScreenViewer
+        viewer = ScreenViewer(get_server().screen, port=args.serve,
+                              state_fn=lambda: mgr.state.name).start()
+        print(f"live view: {viewer.url}", file=sys.stderr)
     t0 = time.perf_counter()
     try:
         mgr.exec(args.renderer, scene, component=component)
@@ -125,6 +135,8 @@ def _cmd_render(args) -> int:
     result = mgr.wait()
     wall = time.perf_counter() - t0
     if result is None:
+        if viewer is not None:
+            viewer.stop()
         print("render failed", file=sys.stderr)
         return 1
     write_png(args.out, result.pixels)
@@ -132,6 +144,18 @@ def _cmd_render(args) -> int:
     print(f"{args.renderer}: {args.width}x{args.height} spp={args.spp} "
           f"depth={args.depth} in {wall:.2f}s "
           f"({n_rays / wall / 1e6:.1f} Mpaths/s) -> {args.out}")
+    if viewer is not None:
+        # post the final frame, then keep serving until interrupted (the
+        # reference UI keeps the result panel open after a render too)
+        get_server().screen.set(result.pixels, result.width, result.height)
+        print(f"serving final frame at {viewer.url} (Ctrl-C to exit)",
+              file=sys.stderr)
+        try:
+            while True:
+                time.sleep(3600)
+        except KeyboardInterrupt:
+            pass
+        viewer.stop()
     return 0
 
 
@@ -284,6 +308,12 @@ def main(argv=None) -> int:
                     help="render in passes with live Screen previews "
                          "(SimplePathTracer; AccPathTracer previews "
                          "automatically whenever the render is chunked)")
+    pr.add_argument("--serve", type=int, nargs="?", const=0, default=None,
+                    metavar="PORT",
+                    help="serve a live browser view of the render "
+                         "(progressive previews + final frame; PORT 0 or "
+                         "omitted = auto-pick). Implies --progressive for "
+                         "SimplePathTracer")
     pr.add_argument("--checkpoint",
                     help="checkpoint file for resumable rendering "
                          "(SimplePathTracer / AccPathTracer / "

@@ -39,26 +39,34 @@ def _png_chunk(tag: bytes, data: bytes) -> bytes:
             + struct.pack(">I", zlib.crc32(chunk) & 0xFFFFFFFF))
 
 
-def write_png(path: str, rgb: np.ndarray) -> None:
-    """Write an (H, W, 3) or (H, W, 4) float [0,1] or uint8 array as PNG."""
+def encode_png(rgb: np.ndarray) -> bytes:
+    """Encode an (H, W, 3|4) float [0,1] or uint8 array as PNG bytes
+    (the live viewer serves these over HTTP; `write_png` wraps this)."""
     arr = np.asarray(rgb)
     if arr.dtype != np.uint8:
         arr = (np.clip(arr, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
     if arr.ndim == 2:
         arr = np.repeat(arr[:, :, None], 3, axis=2)
     if _HAVE_PIL:
-        _PILImage.fromarray(arr).save(path)
-        return
+        import io as _io
+        buf = _io.BytesIO()
+        _PILImage.fromarray(arr).save(buf, format="PNG")
+        return buf.getvalue()
     h, w = arr.shape[:2]
     channels = arr.shape[2]
     color_type = {3: 2, 4: 6}[channels]
     raw = b"".join(b"\x00" + arr[row].tobytes() for row in range(h))
+    return (b"\x89PNG\r\n\x1a\n"
+            + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8,
+                                              color_type, 0, 0, 0))
+            + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+            + _png_chunk(b"IEND", b""))
+
+
+def write_png(path: str, rgb: np.ndarray) -> None:
+    """Write an (H, W, 3) or (H, W, 4) float [0,1] or uint8 array as PNG."""
     with open(path, "wb") as f:
-        f.write(b"\x89PNG\r\n\x1a\n")
-        f.write(_png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8,
-                                                color_type, 0, 0, 0)))
-        f.write(_png_chunk(b"IDAT", zlib.compress(raw, 6)))
-        f.write(_png_chunk(b"IEND", b""))
+        f.write(encode_png(rgb))
 
 
 def read_png(path: str) -> Optional[np.ndarray]:
