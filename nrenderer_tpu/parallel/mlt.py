@@ -40,10 +40,16 @@ _SHARDED_MLT_CACHE: Dict[str, tuple] = {}
 def render_mlt_sharded(scene: Scene, chains: int = 4096,
                        mutations: int = 256, n_init: int = 10000,
                        seed: int = 0, mesh: Optional[Mesh] = None,
-                       max_path: int = None) -> np.ndarray:
+                       max_path: int = None,
+                       checkpoint_path: str = None) -> np.ndarray:
     """Chain-sharded MLT render over `mesh`; same output contract as
     `renderers.mlt.render_mlt` ((H, W, 4) RGBA, row 0 = TOP).  `chains` is
-    the TOTAL chain count and must divide by the device count."""
+    the TOTAL chain count and must divide by the device count.
+
+    `checkpoint_path` (VERDICT r3 #5): the shared `_finish_mlt` driver
+    snapshots the full sharded chain carry after every block — leaves are
+    materialized to host numpy and re-sharded on resume by the shard_map
+    in_specs — so an interrupted sharded render resumes bit-identically."""
     import os
     mesh = mesh or make_mesh()
     n_dev = int(mesh.devices.size)
@@ -72,10 +78,13 @@ def render_mlt_sharded(scene: Scene, chains: int = 4096,
         (kern.ss, kern.cam, kern.max_path, kern.emitted,
          kern.light_pos, kern.light_u, kern.light_v, chains, n_init, block,
          n_dev, mesh_fp, cap)).encode()).hexdigest()
+    # resume-compat fingerprint: compile key + everything else shaping the
+    # estimator (same contract as the single-device driver, renderers/mlt)
+    ck_fp = repr((cache_key, width, height, chains, mutations, block, seed))
     cached = _SHARDED_MLT_CACHE.get(cache_key)
     if cached is not None:
         return _finish_mlt(*cached, key, width, height, chains, mutations,
-                           block)
+                           block, checkpoint_path, ck_fp)
 
     def dev_key(key):
         return jax.random.fold_in(key, jax.lax.axis_index(axis))
@@ -191,4 +200,5 @@ def render_mlt_sharded(scene: Scene, chains: int = 4096,
     _SHARDED_MLT_CACHE[cache_key] = (estimate_b, init_chains, run_block,
                                      flush_film)
     return _finish_mlt(estimate_b, init_chains, run_block, flush_film, key,
-                       width, height, chains, mutations, block)
+                       width, height, chains, mutations, block,
+                       checkpoint_path, ck_fp)
