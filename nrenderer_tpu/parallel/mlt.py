@@ -109,33 +109,38 @@ def render_mlt_sharded(scene: Scene, chains: int = 4096,
         return film.at[flat.reshape(-1)].add(vals.reshape(-1, 3),
                                              mode="drop")
 
-    def _b_sm(key, wh):
-        k = dev_key(key)
+    # ONE compiled sharded sample serves the b phase AND the chain init
+    # (round 4, VERDICT r3 #3 — same structure as the single-device
+    # driver): the b phase host-loops the shared executable.  Keying: a
+    # fresh batch i uses dev_key(fold_in(key, i)) — per-device streams
+    # stay independent, batches stay independent.
+    def _sample_sm(key, wh):
+        u = jax.random.uniform(dev_key(key), (ns, c_loc))
+        contribs, sc = kern.sample(u, wh)
+        return u, contribs, sc
+
+    sample_fresh = jax.jit(jax.shard_map(
+        _sample_sm, mesh=mesh, in_specs=(P(), wh_spec),
+        out_specs=(P(None, axis), (P(None, axis),) * 6, P(axis)),
+        check_vma=False))
+
+    def estimate_b(key, wh):
         steps = max(1, n_init // chains)
+        total = 0.0
+        for i in range(steps):
+            _, _, sc = sample_fresh(jax.random.fold_in(key, i), wh)
+            total += float(jnp.sum(sc))
+        return total / (steps * chains)
 
-        def body(acc, i):
-            u = jax.random.uniform(jax.random.fold_in(k, i), (ns, c_loc))
-            _, sc = kern.sample(u, wh)
-            return acc + jnp.sum(sc), None
-
-        total, _ = jax.lax.scan(body, jnp.zeros(()),
-                                jnp.arange(steps, dtype=jnp.int32))
-        return jax.lax.psum(total, axis) / (steps * chains)
-
-    estimate_b = jax.jit(jax.shard_map(
-        _b_sm, mesh=mesh, in_specs=(P(), wh_spec), out_specs=P(),
-        check_vma=False))
-
-    def _init_sm(key, wh):
-        u_cur = jax.random.uniform(dev_key(key), (ns, c_loc))
-        contribs, sc_cur = kern.sample(u_cur, wh)
-        film = jnp.zeros((1, cap, 3))
-        w_acc = jnp.zeros((c_loc,))
+    def init_chains(key, wh):
+        u_cur, contribs, sc_cur = sample_fresh(key, wh)
+        film = jnp.zeros((n_dev, cap, 3))
+        film = jax.device_put(film, jax.sharding.NamedSharding(
+            mesh, P(axis)))
+        w_acc = jnp.zeros((chains,))
+        w_acc = jax.device_put(w_acc, jax.sharding.NamedSharding(
+            mesh, P(axis)))
         return (film, u_cur, contribs, sc_cur, w_acc)
-
-    init_chains = jax.jit(jax.shard_map(
-        _init_sm, mesh=mesh, in_specs=(P(), wh_spec), out_specs=carry_specs,
-        check_vma=False))
 
     def _block_sm(key, b, carry, wh):
         k_dev = dev_key(key)
