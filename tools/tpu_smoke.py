@@ -1,0 +1,231 @@
+"""Automated TPU smoke tier (VERDICT r3 #6): one command that exercises
+every Pallas/Mosaic kernel family on the REAL chip at small shapes and
+asserts correctness bars + minimum rates.  Replaces the reference's manual
+eyeball loop (SURVEY §4) for hardware regressions that the CPU
+interpret-mode suite cannot see.
+
+    python tools/tpu_smoke.py          # full tier, < 5 min warm
+    python tools/tpu_smoke.py pt mesh  # named checks only
+
+Checks (failure names the kernel):
+  compact   log-shift pack/unpack vs boolean indexing — exact
+  mesh      Pallas blocked sweep vs XLA blocked sweep on bunny-5k — rtol 1e-5
+  pt        Pallas PT megakernel vs XLA wavefront (Cornell) — statistical
+  glass     Pallas BSDF kernel on pt_glass — statistical vs XLA
+  env       env-map render, in-kernel exact bounce-0 vs XLA fallback
+  mlt       one MLT block on Metropolis.scn — structure + rate
+
+Exit code 0 = all green; each line prints PASS/FAIL, the measured rate,
+and the bar it was held to.
+"""
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import nrenderer_tpu  # noqa: E402
+nrenderer_tpu.enable_compilation_cache()
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+RES = "/root/reference/resource"
+FAILED = []
+
+
+def check(name, ok, detail):
+    tag = "PASS" if ok else "FAIL"
+    print(f"[{tag}] {name:8s} {detail}", flush=True)
+    if not ok:
+        FAILED.append(name)
+
+
+def timed(fn, *a, reps=2, **k):
+    out = fn(*a, **k)
+    jax.block_until_ready(out) if hasattr(out, "block_until_ready") else None
+    best = 1e9
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = fn(*a, **k)
+        np.asarray(out)
+        best = min(best, time.perf_counter() - t0)
+    return out, best
+
+
+def smoke_compact():
+    from nrenderer_tpu.ops.compact import (shift_pack_channels,
+                                           shift_unpack_channels)
+    n, cap = 1 << 20, 1 << 18
+    key = jax.random.PRNGKey(0)
+    mask = jax.random.uniform(key, (n,)) < 0.15
+    vals = jax.random.normal(jax.random.fold_in(key, 1), (n,))
+
+    @jax.jit
+    def roundtrip(mask, vals):
+        (packed,), ridx, n_hit = shift_pack_channels(mask, (vals,), cap)
+        (back,) = shift_unpack_channels(mask, (packed,),
+                                        (jnp.zeros((n,)),), ridx=ridx)
+        return packed, back, n_hit
+
+    (packed, back, n_hit), dt = timed(roundtrip, mask, vals)
+    m = np.asarray(mask)
+    want = np.asarray(vals)[m][:cap]
+    got = np.asarray(packed)[:int(n_hit)]
+    ok = (got.shape == want.shape and np.array_equal(got, want)
+          and np.array_equal(np.asarray(back)[m][:cap], want)
+          and not np.asarray(back)[~m].any())
+    rate = n / dt / 1e6
+    check("compact", ok and rate > 100,
+          f"1M-lane pack+unpack exact, {rate:.0f} Mlane/s (bar 100)")
+
+
+def _bunny_accel():
+    from nrenderer_tpu import load_scn, load_obj, build_scene_arrays
+    from nrenderer_tpu.ops.intersect import make_static_scene, T_MIN_PT
+    from nrenderer_tpu.ops.bvh import build_mesh_accel
+    from nrenderer_tpu.ops.pt_core import make_mat_channels, scene_epsilon
+    scene = load_scn(f"{RES}/path_tracing_cornel.scn")
+    load_obj(f"{RES}/obj/bunny_5k_faces.obj", scene, material=0)
+    m = scene.models[-1]
+    m.scale = (600.0,) * 3
+    m.translation = (40.0, -305.0, 920.0)
+    arr = build_scene_arrays(scene)
+    ss = make_static_scene(arr)
+    mat_ch = make_mat_channels(ss)
+    ma = build_mesh_accel(arr, mat_ch)
+    return ma, mat_ch, float(scene_epsilon(ss, T_MIN_PT))
+
+
+def smoke_mesh():
+    from nrenderer_tpu.ops.bvh import intersect_triangles_blocked
+    from nrenderer_tpu.ops.mesh_pallas import sweep_mesh_full
+    from nrenderer_tpu.ops.soa import V3
+    ma, mat_ch, t_min = _bunny_accel()
+    n = 1 << 18
+    key = jax.random.PRNGKey(7)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    o = V3(jax.random.uniform(k1, (n,), minval=50.0, maxval=500.0),
+           jax.random.uniform(k2, (n,), minval=50.0, maxval=500.0),
+           jax.random.uniform(k3, (n,), minval=300.0, maxval=900.0))
+    dv = jax.random.normal(k4, (n, 3))
+    dv = dv / jnp.linalg.norm(dv, axis=1, keepdims=True)
+    d = V3(dv[:, 0], dv[:, 1], dv[:, 2])
+
+    run_p = jax.jit(lambda o, d: sweep_mesh_full(ma.bt, o, d, t_min)[:2])
+    (tp, ip), dt = timed(run_p, o, d)
+    tx, *_rest = jax.jit(
+        lambda o, d: intersect_triangles_blocked(ma.bt, o, d, t_min))(o, d)
+    tp, tx, ip = np.asarray(tp), np.asarray(tx), np.asarray(ip)
+    hit_p = ip >= 0
+    hit_x = np.isfinite(tx)
+    ok = (hit_p == hit_x).all() and np.allclose(
+        tp[hit_p], tx[hit_x], rtol=1e-5)
+    rate = n / dt / 1e6
+    check("mesh", ok and rate > 20,
+          f"5k-tri sweep == XLA sweep ({int(hit_p.sum())} hits), "
+          f"{rate:.0f} Mray/s (bar 20)")
+
+
+def _render(scn, renderer, w, h, spp, depth, env=None, **kw):
+    from nrenderer_tpu import load_scn
+    scene = load_scn(f"{RES}/{scn}")
+    ro = scene.render_option
+    ro.width, ro.height = w, h
+    ro.samples_per_pixel = spp
+    ro.depth = depth
+    t0 = time.perf_counter()
+    img = renderer(seed=0, **kw).render(scene).pixels[..., :3]
+    return np.asarray(img), time.perf_counter() - t0
+
+
+def smoke_pt():
+    from nrenderer_tpu.renderers.simple_pt import SimplePathTracerRenderer
+    w = h = 128
+    spp, depth = 256, 8
+    img_p, dt = _render("path_tracing_cornel.scn", SimplePathTracerRenderer,
+                        w, h, spp, depth)
+    os.environ["NR_ENGINE"] = "xla"
+    try:
+        img_x, _ = _render("path_tracing_cornel.scn",
+                           SimplePathTracerRenderer, w, h, spp, depth)
+    finally:
+        os.environ.pop("NR_ENGINE")
+    corr = np.corrcoef(img_p.reshape(-1), img_x.reshape(-1))[0, 1]
+    rate = spp / dt
+    ok = (np.isfinite(img_p).all()
+          and abs(float(img_p.mean() - img_x.mean())) < 0.05
+          and corr > 0.9 and rate > 100)
+    check("pt", ok, f"megakernel vs XLA: dmean "
+          f"{abs(float(img_p.mean() - img_x.mean())):.4f} (bar .05), "
+          f"corr {corr:.3f} (bar .9), {rate:.0f} spp/s (bar 100)")
+
+
+def smoke_glass():
+    from nrenderer_tpu.renderers.acc_pt import AccPathTracerRenderer
+    img, dt = _render("pt_glass.scn", AccPathTracerRenderer, 128, 128,
+                      128, 12)
+    rate = 128 / dt
+    ok = (np.isfinite(img).all() and img.max() > 0.3
+          and 0.05 < img.mean() < 0.9 and rate > 40)
+    check("glass", ok, f"BSDF kernel mean {img.mean():.3f}, "
+          f"{rate:.0f} spp/s (bar 40)")
+
+
+def smoke_env():
+    from nrenderer_tpu.renderers.acc_pt import AccPathTracerRenderer
+    img_e, dt = _render("env_map_spheres.scn", AccPathTracerRenderer,
+                        128, 128, 64, 6)
+    os.environ["NR_ENV_EXACT0"] = "0"
+    try:
+        img_x, _ = _render("env_map_spheres.scn", AccPathTracerRenderer,
+                           128, 128, 64, 6)
+    finally:
+        os.environ.pop("NR_ENV_EXACT0")
+    corr = np.corrcoef(img_e.reshape(-1), img_x.reshape(-1))[0, 1]
+    rate = 64 / dt
+    ok = (np.isfinite(img_e).all()
+          and abs(float(img_e.mean() - img_x.mean())) < 0.02
+          and corr > 0.98 and rate > 40)
+    check("env", ok, f"exact-bounce0 vs XLA fallback: corr {corr:.4f} "
+          f"(bar .98), {rate:.0f} spp/s (bar 40)")
+
+
+def smoke_mlt():
+    from nrenderer_tpu import load_scn
+    from nrenderer_tpu.renderers.mlt import render_mlt
+    scene = load_scn(f"{RES}/Metropolis.scn")
+    scene.render_option.width = 64
+    scene.render_option.height = 64
+    scene.render_option.depth = 8
+    chains, muts = 1024, 64
+    t0 = time.perf_counter()
+    img = render_mlt(scene, chains=chains, mutations=muts, n_init=4096,
+                     seed=0)[..., :3]
+    dt = time.perf_counter() - t0
+    left = img[24:40, 2:7].mean(axis=(0, 1))
+    right = img[24:40, 57:62].mean(axis=(0, 1))
+    rate = chains * muts / dt / 1e3
+    ok = (np.isfinite(img).all() and img.max() > 0.3
+          and left[0] > left[2] and right[1] > right[0])
+    check("mlt", ok, f"64x64 block: mean {img.mean():.3f}, walls "
+          f"r/g ok, {rate:.0f} Kmut/s incl warmup")
+
+
+ALL = {"compact": smoke_compact, "mesh": smoke_mesh, "pt": smoke_pt,
+       "glass": smoke_glass, "env": smoke_env, "mlt": smoke_mlt}
+
+if __name__ == "__main__":
+    names = sys.argv[1:] or list(ALL)
+    t0 = time.perf_counter()
+    print(f"devices: {jax.devices()}", flush=True)
+    for nm in names:
+        try:
+            ALL[nm]()
+        except Exception as exc:  # a crash is a failure that names itself
+            check(nm, False, f"EXCEPTION {type(exc).__name__}: {exc}")
+    print(f"\n{'OK' if not FAILED else 'FAILED: ' + ', '.join(FAILED)} "
+          f"({time.perf_counter() - t0:.0f}s)", flush=True)
+    sys.exit(1 if FAILED else 0)
