@@ -53,7 +53,12 @@ from .compact import (pack_indices, shift_pack_channels,
                       shift_unpack_channels)
 from .soa import V3
 
-SUB_M = 32   # ray-tile height: SUB_M x 128 rays per grid program
+SUB_M = int(os.environ.get("NR_MESH_SUB_M", "32"))
+# ^ ray-tile height: SUB_M x 128 rays per grid program.  Smaller tiles
+# tighten the per-tile block UNION (each tile sweeps only blocks whose
+# AABB any of its rays enters) at the cost of more grid steps; 32 is the
+# default the round-3 numbers were measured at — the env knob exists for
+# A/B sweeps on real workloads (shuffled microbenches mislead here).
 LANES = 128
 
 

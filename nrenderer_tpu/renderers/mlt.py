@@ -780,22 +780,28 @@ class MLTKernel:
 
 def _scaled_static(arrays: SceneArrays, f: float) -> StaticScene:
     """Uniformly scale scene geometry by f (unit-normalizing for f32 pdf
-    products; per-path contributions are scale-invariant, see module doc)."""
+    products; per-path contributions are scale-invariant, see module doc).
+
+    PURE NUMPY throughout (round 4): each eager jnp op here paid a remote
+    tiny-kernel compile through the axon relay — 12 of them cost ~65 s of
+    every cold MLT start (the same per-op-compile disease the r3 scene-prep
+    fix removed from build_scene_arrays).  `make_static_scene` only reads
+    the fields via np.asarray, so host arrays are the natural form."""
     a = arrays
-    inv = np.asarray(a.pln_inv)
-    inv_scaled = inv.copy()
+    n = lambda x: np.asarray(x)
+    inv_scaled = n(a.pln_inv).copy()
     inv_scaled[:, 0:2, :] /= f
     inv_scaled[:, 2, :] /= f * f
-    al_inv = np.asarray(a.al_inv)
-    al_inv_scaled = al_inv.copy()
+    al_inv_scaled = n(a.al_inv).copy()
     al_inv_scaled[:, 0:2, :] /= f
     al_inv_scaled[:, 2, :] /= f * f
     scaled = a._replace(
-        sph_pos=a.sph_pos * f, sph_radius=a.sph_radius * f,
-        tri_v1=a.tri_v1 * f, tri_e1=a.tri_e1 * f, tri_e2=a.tri_e2 * f,
-        pln_pos=a.pln_pos * f, pln_inv=jnp.asarray(inv_scaled),
-        al_pos=a.al_pos * f, al_u=a.al_u * f, al_v=a.al_v * f,
-        al_normal=a.al_normal * (f * f), al_inv=jnp.asarray(al_inv_scaled),
+        sph_pos=n(a.sph_pos) * f, sph_radius=n(a.sph_radius) * f,
+        tri_v1=n(a.tri_v1) * f, tri_e1=n(a.tri_e1) * f,
+        tri_e2=n(a.tri_e2) * f,
+        pln_pos=n(a.pln_pos) * f, pln_inv=inv_scaled,
+        al_pos=n(a.al_pos) * f, al_u=n(a.al_u) * f, al_v=n(a.al_v) * f,
+        al_normal=n(a.al_normal) * (f * f), al_inv=al_inv_scaled,
     )
     return make_static_scene(scaled)
 
@@ -1067,6 +1073,52 @@ def _finish_mlt(estimate_b, init_chains, run_block, flush_film, key, width,
     wh = (jnp.float32(width), jnp.float32(height))
     k_init, k_loop = _jax.random.split(key)
 
+    # overlap the BLOCK compile with the b phase (round 4): the two big
+    # compiles (sample ~40-60 s, mutation block ~50 s through the remote
+    # relay) used to serialize; AOT-compiling run_block against the
+    # carry's eval_shape in a daemon thread lets them proceed concurrently
+    # where the compile service allows it.  The AOT executable is used
+    # directly (an explicit lower().compile() does not feed the jit
+    # dispatch cache).  Best-effort: any failure falls back to the normal
+    # jit-at-first-call path.
+    import threading
+
+    aot = {}
+
+    def _precompile():
+        try:
+            shapes = _jax.eval_shape(init_chains, k_init, wh)
+            b_aval = _jax.ShapeDtypeStruct((), jnp.float32)
+            aot["block"] = run_block.lower(shapes_key(k_loop), b_aval,
+                                           shapes, wh_avals(wh)).compile()
+        except Exception:
+            aot["block"] = None
+        try:
+            shapes = _jax.eval_shape(init_chains, k_init, wh)
+            aot["flush"] = flush_film.lower(shapes,
+                                            wh_avals(wh)).compile()
+        except Exception:
+            aot["flush"] = None
+
+    def shapes_key(k):
+        return _jax.ShapeDtypeStruct(k.shape, k.dtype)
+
+    def wh_avals(wh):
+        return tuple(_jax.ShapeDtypeStruct(x.shape, x.dtype) for x in wh)
+
+    warm = threading.Thread(target=_precompile, daemon=True)
+    warm.start()
+
+    def call_block(k, b, carry, wh):
+        warm.join()
+        fn = aot.get("block")
+        if fn is not None:
+            try:
+                return fn(k, jnp.float32(b), carry, wh)
+            except Exception:  # aval/sharding mismatch -> normal jit path
+                aot["block"] = None
+        return run_block(k, b, carry, wh)
+
     loaded = None
     if checkpoint_path:
         # the carry's pytree structure, without running the init
@@ -1096,15 +1148,23 @@ def _finish_mlt(estimate_b, init_chains, run_block, flush_film, key, width,
     n_blocks = max(1, mutations // block)
     for i in range(start, n_blocks):
         with timer.phase("mutate-blocks"):
-            carry = run_block(_jax.random.fold_in(k_loop, i), b, carry, wh)
+            carry = call_block(_jax.random.fold_in(k_loop, i), b, carry, wh)
         if checkpoint_path:
             # forces the async block (materializes the carry) — only paid
             # when the user asked for resumability
             _save_mlt_checkpoint(checkpoint_path, carry, b, i + 1,
                                  fingerprint)
     with timer.phase("film-flush"):
-        film = np.asarray(flush_film(carry, wh))[:width * height]
-        film = film.reshape(height, width, 3)
+        warm.join()
+        fn = aot.get("flush")
+        if fn is not None:
+            try:
+                film = np.asarray(fn(carry, wh))
+            except Exception:
+                film = np.asarray(flush_film(carry, wh))
+        else:
+            film = np.asarray(flush_film(carry, wh))
+        film = film[:width * height].reshape(height, width, 3)
     total_mut = n_blocks * block
     # run_block dispatches are async; the film flush forces them, so the
     # honest steady mutation rate is (dispatch + flush) wall time
@@ -1117,6 +1177,7 @@ def _finish_mlt(estimate_b, init_chains, run_block, flush_film, key, width,
     if debug:
         print(f"MLT: chain-phase {dt:.1f}s "
               f"({chains * total_mut / dt / 1e3:.1f} Kmut/s)", flush=True)
+        print(f"MLT: phases {timer.summary()}", flush=True)
     # exposure tone map (`Metropolis.cpp:110-124`): s = w*h / total samples
     samps = chains * total_mut
     s = float(width * height) / float(samps)
