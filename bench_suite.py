@@ -118,7 +118,11 @@ def main() -> int:
                  f"{size}x{size}, {spp} spp, depth {cond_depth}",
                  dt, f"{spp / dt:.0f} spp/s"))
 
-    # 4. Bunny mesh (config 4) — smaller spp, extrapolable
+    # 4. Bunny mesh (config 4).  On TPU this is the REFERENCE framing at
+    # 500x500/depth 20 with spp scaled 4x down (64) — the mesh sweep +
+    # compaction pipe dominates wall time at this shape, so a 2x pipe
+    # regression moves the row ~2x (the old 256^2/8spp row was fixed-cost
+    # dominated and hid regressions — VERDICT r3 weak #5).
     from nrenderer_tpu.renderers.acc_pt import AccPathTracerRenderer
     scene = load_scn(f"{RES}/path_tracing_cornel.scn")
     load_obj(f"{RES}/obj/bunny_5k_faces.obj", scene, material=0)
@@ -126,16 +130,21 @@ def main() -> int:
     m.scale = (600.0,) * 3
     m.translation = (40.0, -305.0, 920.0)
     ro = scene.render_option
-    ro.width = ro.height = min(size, 256)
-    ro.samples_per_pixel = 8 if backend != "cpu" else 2
-    ro.depth = 8
+    if backend == "cpu":
+        ro.width = ro.height = min(size, 256)
+        ro.samples_per_pixel = 2
+        ro.depth = 8
+    else:
+        ro.width = ro.height = 500
+        ro.samples_per_pixel = 64
+        ro.depth = 20
     r = AccPathTracerRenderer(seed=0)
     r.render(scene)  # compile
     t0 = time.perf_counter()
     AccPathTracerRenderer(seed=1).render(scene)
     dt = time.perf_counter() - t0
     rows.append(("AccPT bunny-5k (mesh)", f"{ro.width}x{ro.height}, "
-                 f"{ro.samples_per_pixel} spp, depth 8", dt,
+                 f"{ro.samples_per_pixel} spp, depth {ro.depth}", dt,
                  f"{ro.samples_per_pixel / dt:.2f} spp/s"))
 
     # 4b. Env-map spheres (config 4's other half) — the reference DECLARES
