@@ -51,6 +51,8 @@ from jax.experimental.pallas import tpu as pltpu
 from .bvh import BlockedTris, MeshAccel, TrianglePack
 from .compact import (pack_indices, shift_pack_channels,
                       shift_unpack_channels)
+from .stream_compact import (stream_pack_channels, stream_rows_needed,
+                             stream_unpack_channels)
 from .soa import V3
 
 SUB_M = int(os.environ.get("NR_MESH_SUB_M", "32"))
@@ -438,6 +440,14 @@ def intersect_triangles_mesh(ma: MeshAccel, o: V3, d: V3, t_min: float,
             return _row_packed_sweep(ma, o, d, t_min, t_cap, m, cap,
                                      mat_channels, interpret)
         pack_mode = "shift"  # row granularity needs whole 128-lane rows
+    # "stream" = the single-pass Pallas streaming compactor
+    # (ops/stream_compact.py): each channel is read ONCE and the packed
+    # buffer written once, vs the XLA shift pack's ~23 roll+select passes
+    # which XLA fails to fuse IN SITU (~131 ms of a 217 ms bounce at 16M
+    # rays, r4 device-op trace).  Layout is per-tile column-packed (the
+    # sweep is position-independent per ray, so results are bit-identical
+    # to the shift engine); overflow guards on the pack's own row-claim
+    # arithmetic instead of the raw hit count.
 
     # Entry-cell SORT (round 3, OFF by default): on a SHUFFLED all-hitting
     # population, sorting the compacted buffer by quantized box-entry cell
@@ -473,6 +483,55 @@ def intersect_triangles_mesh(ma: MeshAccel, o: V3, d: V3, t_min: float,
                 + (dc.z > 0).astype(jnp.int32))
         return cell * 8 + oct_
 
+    # (idx, mat) fold: both are small non-negative ids, so
+    # mat * 2^17 + idx is EXACT in f32 when it stays below 2^24
+    # (the ids are static table data, checked at trace time) —
+    # one unpack channel instead of two, and the unpack is pure
+    # HBM streaming, so bytes are time (~17%: one of six equal-
+    # width unpack channels dropped; the per-channel split is in
+    # the r3 profiler trace, tools/perf/trace_mesh.py).
+    try:
+        # the accel is normally a trace-time CONSTANT (renderers
+        # close over it); a traced accel (equality tests jit it as
+        # an argument) has no concrete ids — skip the fold there
+        pid_max = float(np.max(ma.bt.pid))
+        mat_max = float(np.max(ma.bt.mat))
+    except Exception:
+        pid_max = mat_max = float("inf")
+    # exactness precondition checked on the CONCRETE ids:
+    # mat * 2^17 + pid < 2^24  <=>  mat <= 127 given pid < 2^17
+    fold = pid_max < 131071.5 and mat_max < 127.5
+
+    def stream_compacted(_):
+        sp = stream_pack_channels(
+            (o.x, o.y, o.z, d.x, d.y, d.z, t_cap), cap, mask_from=6,
+            interpret=interpret)
+        oc = V3(sp.packed[0], sp.packed[1], sp.packed[2])
+        dc = V3(sp.packed[3], sp.packed[4], sp.packed[5])
+        t, idx, nxs, nys, nzs, mat = sweep_mesh_full(
+            ma.bt, oc, dc, t_min, t_cap=sp.packed[6], n_valid=sp.n_valid,
+            interpret=interpret)
+        if fold:
+            code = jnp.where(idx >= 0,
+                             mat * 131072.0 + idx.astype(jnp.float32),
+                             -1.0)
+            t, code, nxs, nys, nzs = stream_unpack_channels(
+                t_cap, (t, code, nxs, nys, nzs),
+                (float("inf"), -1.0, 0.0, 0.0, 0.0), sp,
+                interpret=interpret)
+            hitm = code >= 0
+            mat = jnp.where(hitm, jnp.floor(code * (1.0 / 131072.0)), 0.0)
+            idx = jnp.where(hitm, code - mat * 131072.0,
+                            -1.0).astype(jnp.int32)
+            return t, idx, nxs, nys, nzs, mat
+        # traced-accel fallback: idx rides as f32 (exact below 2^24 —
+        # mesh prim counts are far smaller), mat as its own channel
+        t, idxf, nxs, nys, nzs, mat = stream_unpack_channels(
+            t_cap, (t, idx.astype(jnp.float32), nxs, nys, nzs, mat),
+            (float("inf"), -1.0, 0.0, 0.0, 0.0, 0.0), sp,
+            interpret=interpret)
+        return t, idxf.astype(jnp.int32), nxs, nys, nzs, mat
+
     def compacted(_):
         if pack_mode == "shift":
             (ox, oy, oz, dx, dy, dz, tcc), ridx, nh = shift_pack_channels(
@@ -507,24 +566,6 @@ def intersect_triangles_mesh(ma: MeshAccel, o: V3, d: V3, t_min: float,
             # cost once the pack went gather-free (~80 of 206 ms/bounce
             # at 8M rays, measured with all outputs consumed)
             zeros = jnp.zeros((n,))
-            # (idx, mat) fold: both are small non-negative ids, so
-            # mat * 2^17 + idx is EXACT in f32 when it stays below 2^24
-            # (the ids are static table data, checked at trace time) —
-            # one unpack channel instead of two, and the unpack is pure
-            # HBM streaming, so bytes are time (~17%: one of six equal-
-            # width unpack channels dropped; the per-channel split is in
-            # the r3 profiler trace, tools/perf/trace_mesh.py).
-            try:
-                # the accel is normally a trace-time CONSTANT (renderers
-                # close over it); a traced accel (equality tests jit it as
-                # an argument) has no concrete ids — skip the fold there
-                pid_max = float(np.max(ma.bt.pid))
-                mat_max = float(np.max(ma.bt.mat))
-            except Exception:
-                pid_max = mat_max = float("inf")
-            # exactness precondition checked on the CONCRETE ids:
-            # mat * 2^17 + pid < 2^24  <=>  mat <= 127 given pid < 2^17
-            fold = pid_max < 131071.5 and mat_max < 127.5
             if fold:
                 code = jnp.where(idx >= 0,
                                  mat * 131072.0 + idx.astype(jnp.float32),
@@ -554,8 +595,16 @@ def intersect_triangles_mesh(ma: MeshAccel, o: V3, d: V3, t_min: float,
         return sweep_mesh_full(ma.bt, o, d, t_min, t_cap=t_cap,
                                interpret=interpret)
 
+    if pack_mode == "stream":
+        # the stream pack claims ceil(max_col_cnt/8)*8 rows per tile —
+        # guard on ITS row arithmetic, not the raw hit count
+        overflow = stream_rows_needed(m) * LANES > cap
+        branch = stream_compacted
+    else:
+        overflow = n_hit > cap
+        branch = compacted
     t, idx, nxs, nys, nzs, mat = jax.lax.cond(
-        n_hit > cap, full_sweep, compacted, operand=None)
+        overflow, full_sweep, branch, operand=None)
     miss = idx < 0
     chans = _channels_from_mat(mat, miss, mat_channels)
     pid = jnp.where(miss, -1.0, idx.astype(jnp.float32))

@@ -22,6 +22,7 @@ TPU-native design:
 from __future__ import annotations
 
 import hashlib
+import os
 from typing import Callable, Dict
 
 import jax
@@ -156,7 +157,10 @@ _FN_CACHE: Dict[str, Callable] = {}
 
 
 def get_render_fn(ss: StaticScene, *shape_args) -> Callable:
-    key = hashlib.sha1(repr((ss, shape_args)).encode()).hexdigest()
+    # NR_WAVE_PACK is read at BUILD time by the staged wavefront; it must
+    # key the cache or an env flip mid-process would reuse the other engine
+    wave_pack = os.environ.get("NR_WAVE_PACK", "shift")
+    key = hashlib.sha1(repr((ss, shape_args, wave_pack)).encode()).hexdigest()
     fn = _FN_CACHE.get(key)
     if fn is None:
         fn = build_render_fn(ss, *shape_args)

@@ -189,6 +189,51 @@ def test_mesh_pack_row_mode_identical(setup, monkeypatch):
     assert np.isfinite(np.asarray(a[0])).sum() > 500
 
 
+def test_mesh_pack_stream_mode_identical(setup, monkeypatch):
+    """NR_MESH_PACK=stream (single-pass Pallas streaming compactor,
+    ops/stream_compact.py) must be bit-identical to the shift engine —
+    its per-tile column-packed layout differs, but per-ray sweep results
+    don't depend on buffer position.  Rays flipped away from the mesh mix
+    live and dead lanes through the pack."""
+    import nrenderer_tpu.ops.mesh_pallas as mp
+
+    ma, ch, o, dv, blocked = setup
+    n = o.x.shape[0]
+    flip = (jnp.arange(n) % 7 == 0)
+    sgn = jnp.where(flip, -1.0, 1.0)
+    d2 = V3(dv.x * sgn, dv.y * sgn, dv.z * sgn)
+    t_dense = jnp.full((n,), jnp.inf)
+    monkeypatch.setattr(mp, "MESH_COMPACT_MIN", 64)
+    monkeypatch.setenv("NR_STREAM_ROWS", "64")
+    monkeypatch.setenv("NR_MESH_PACK", "shift")
+    a = mp.intersect_triangles_mesh(ma, o, d2, 1e-3, t_dense, ch)
+    monkeypatch.setenv("NR_MESH_PACK", "stream")
+    b = mp.intersect_triangles_mesh(ma, o, d2, 1e-3, t_dense, ch)
+    for got, want in zip(b[:6], a[:6]):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    for got, want in zip(b[6], a[6]):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    assert np.isfinite(np.asarray(a[0])).sum() > 500
+
+
+def test_mesh_pack_stream_overflow_fallback(setup, monkeypatch):
+    """Stream-mode overflow (row claims exceed the cap) falls back to the
+    full sweep via the lax.cond — still exact."""
+    import nrenderer_tpu.ops.mesh_pallas as mp
+
+    ma, ch, o, dv, blocked = setup
+    n = o.x.shape[0]
+    t_dense = jnp.full((n,), jnp.inf)
+    base = intersect_triangles_mesh(ma, o, dv, 1e-3, t_dense, ch)
+    monkeypatch.setattr(mp, "MESH_COMPACT_MIN", 64)
+    monkeypatch.setenv("NR_STREAM_ROWS", "64")
+    monkeypatch.setenv("NR_MESH_PACK", "stream")
+    comp = mp.intersect_triangles_mesh(ma, o, dv, 1e-3, t_dense, ch,
+                                       cap=1024)
+    np.testing.assert_allclose(np.asarray(comp[0]), np.asarray(base[0]),
+                               rtol=1e-6)
+
+
 def test_mesh_pack_row_overflow_fallback(setup, monkeypatch):
     """Row-mode overflow (more live rows than cap//128) falls back to the
     full sweep — still exact."""
