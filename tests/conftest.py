@@ -24,12 +24,27 @@ RESOURCE_DIR = pathlib.Path("/root/reference/resource")
 _NEEDS_REEXEC = bool(os.environ.get("PALLAS_AXON_POOL_IPS")) or \
     os.environ.get("JAX_PLATFORMS", "cpu") != "cpu"
 
+def _cache_env(env):
+    """Point JAX's persistent compilation cache at a repo-local dir so
+    REPEAT suite runs skip recompiles (the slow tier is dominated by
+    multi-minute MLT combine compiles; a second `--runslow` run loads
+    them from disk).  NR_TEST_NO_CACHE=1 disables it — e.g. when timing
+    cold compiles on purpose."""
+    if env.get("NR_TEST_NO_CACHE") == "1":
+        return
+    cache = str(REPO_ROOT / ".jax_test_cache")
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", cache)
+    env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2.0")
+    env.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
+
 if not _NEEDS_REEXEC:
     os.environ["JAX_PLATFORMS"] = "cpu"
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
         os.environ["XLA_FLAGS"] = (
             flags + " --xla_force_host_platform_device_count=8").strip()
+    _cache_env(os.environ)
 
 
 def pytest_configure(config):
@@ -48,6 +63,7 @@ def pytest_configure(config):
     if "xla_force_host_platform_device_count" not in flags:
         env["XLA_FLAGS"] = (
             flags + " --xla_force_host_platform_device_count=8").strip()
+    _cache_env(env)
     os.execve(sys.executable,
               [sys.executable, "-m", "pytest"] + sys.argv[1:], env)
 
