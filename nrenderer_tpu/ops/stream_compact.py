@@ -69,7 +69,10 @@ ALIGN = 8  # f32 sublane tile: per-tile claims round up to 8 rows so the
 
 
 def _rows() -> int:
-    return int(os.environ.get("NR_STREAM_ROWS", "512"))
+    # 256 is the measured sweet spot: Mosaic compile is seconds (512 hits
+    # a multi-MINUTE compile cliff on the unrolled (512,128) program) and
+    # runtime is flat across 128/256/512 (tools/perf/stream_tune.py)
+    return int(os.environ.get("NR_STREAM_ROWS", "256"))
 
 
 def _interp(interpret):
@@ -109,10 +112,14 @@ def _roll_up(x, step: int, size: int):
 
 
 def _roll_down_dyn(x, off, size: int, min_align: int = 1):
-    """Rotate rows down by a TRACED scalar `off` (0 <= off < size), via
-    log2(size) conditional static rotates — every step is a plain
-    `pltpu.roll`, which Mosaic lowers unconditionally.  `min_align`:
-    skip low bits the caller guarantees are zero."""
+    """Rotate rows down by a TRACED scalar `off` (0 <= off < size).
+    Default: `pltpu.roll`'s native dynamic shift (one op, validated on
+    v5e); NR_STREAM_DYNROLL=0 decomposes into log2(size) conditional
+    static rotates — every step a plain static `pltpu.roll`, the
+    conservatively portable lowering (measured ~equal at 8M rays).
+    `min_align`: skip low bits the caller guarantees are zero."""
+    if os.environ.get("NR_STREAM_DYNROLL", "1") == "1":
+        return pltpu.roll(x, off, 0)
     k = 0
     while (1 << k) < size:
         if (1 << k) >= min_align:
@@ -238,11 +245,12 @@ def _pack_kernel(*refs, C: int, rows: int, T: int, cap_blocks: int,
 
     def _flush_block(blk, src_row: int):
         dst = jnp.minimum(blk, cap_blocks - 1) * rows
-        for i in range(C):
-            cp = pltpu.make_async_copy(
-                ring_refs[i].at[pl.ds(src_row, rows), :],
-                out_refs[i].at[pl.ds(dst, rows), :], sem)
-            cp.start()
+        cps = [pltpu.make_async_copy(
+            ring_refs[i].at[pl.ds(src_row, rows), :],
+            out_refs[i].at[pl.ds(dst, rows), :], sem) for i in range(C)]
+        for cp in cps:   # start all, then drain: copies run CONCURRENTLY
+            cp.start()   # (serial start/wait pairs measured ~latency-bound
+        for cp in cps:   # at ~40 flushes x 7 channels per 8M-ray pass)
             cp.wait()
 
     @pl.when((nfb > fb) & (jax.lax.rem(fb, 2) == 0))
@@ -386,10 +394,12 @@ def _unpack_kernel(base_pref, *refs, C: int, rows: int,
     # astronomically-rare wrong-lane values the way the shift pack
     # accepts dropped overflow rays)
     b = jnp.minimum(base_pref[t], cap_pad_rows - rows)
-    for i in range(C):
-        cp = pltpu.make_async_copy(
-            packed_refs[i].at[pl.ds(b, rows), :], win_refs[i], sem)
+    cps = [pltpu.make_async_copy(
+        packed_refs[i].at[pl.ds(b, rows), :], win_refs[i], sem)
+        for i in range(C)]
+    for cp in cps:  # concurrent window fetches, then drain
         cp.start()
+    for cp in cps:
         cp.wait()
 
     m, cnt, s_lane = _mask_plan(mask_ref[:], rows)
