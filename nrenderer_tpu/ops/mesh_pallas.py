@@ -349,12 +349,14 @@ def intersect_triangles_mesh(ma: MeshAccel, o: V3, d: V3, t_min: float,
     can't reach the mesh — dead lanes, rays pointing away, rays whose
     dense-prim hit is nearer than the box entry — get `t_cap = 0`, and
     the survivors (5-18% on bunny-5k bounce wavefronts) are packed into a
-    `cap = N/8` buffer for the sweep, the results scattered back.  The
-    pack is the gather-free LOG-SHIFT compaction
-    (`compact.shift_pack_channels`, ~46 ms/bounce at 8M rays vs 213 ms
-    for the cumsum-pack + 7 per-element gathers it replaced —
-    `NR_MESH_PACK=scatter` restores that engine).  Overflow (> cap
-    survivors) falls back via
+    `cap = N/4` buffer for the sweep, the results distributed back.  The
+    pack is the single-pass Pallas STREAMING COMPACTOR by default
+    (`ops/stream_compact.py`, round 4: pack 1.6 + unpack 2.3 ms at 16M
+    rays in situ, vs ~131 ms for the XLA log-shift engine it replaced —
+    `NR_MESH_PACK=shift` restores that one, `=scatter` the r3-early
+    cumsum-pack + gathers), and the compacted buffer is entry-cell
+    SORTED before the sweep by default (see NR_MESH_SORT below).
+    Overflow (> cap survivors) falls back via
     `lax.cond` to the UNCOMPACTED sweep with the zeroed caps — which is
     exactly right for the one place it fires, the near-coherent camera
     bounce (17.8% AABB rate on the reference bunny framing): coherent
@@ -424,7 +426,7 @@ def intersect_triangles_mesh(ma: MeshAccel, o: V3, d: V3, t_min: float,
     n_hit = jnp.sum(m.astype(jnp.int32))
 
     inf = jnp.float32(jnp.inf)
-    # Pack engine: "shift" (default) = log-shift compaction, ~23 roll+select
+    # Pack engine: "shift" = log-shift compaction, ~23 roll+select
     # streaming passes, no gathers (ops/compact.shift_pack_channels);
     # "scatter" = cumsum-pack + 7 per-element gathers (the r3-early form;
     # TPU gathers run ~140M elem/s, ~105 ms at 8M rays vs ~25 ms shifted);
@@ -434,7 +436,7 @@ def intersect_triangles_mesh(ma: MeshAccel, o: V3, d: V3, t_min: float,
     # live mask is row-clustered (real bunny wavefronts: the mask is the
     # mesh's screen footprint, measured ~60-128 live lanes per live row);
     # each channel is read ONCE instead of 23 shift passes.
-    pack_mode = os.environ.get("NR_MESH_PACK", "shift")
+    pack_mode = os.environ.get("NR_MESH_PACK", "stream")
     if pack_mode == "row":
         if n % LANES == 0:
             return _row_packed_sweep(ma, o, d, t_min, t_cap, m, cap,
@@ -462,6 +464,13 @@ def intersect_triangles_mesh(ma: MeshAccel, o: V3, d: V3, t_min: float,
     sort_rays = (pack_mode == "shift"
                  and os.environ.get("NR_MESH_SORT", "0") != "0")
 
+    # NR_MESH_CELL_Q: per-axis quantization of the box-entry cell (key =
+    # cell * 8 + direction octant).  Default 8 -> 4096 distinct keys; 2
+    # -> 64 keys (A/B knob for how coarse a key still collapses the
+    # sweep's block unions — the cheap radix-bucket reorder only pays if
+    # few buckets suffice).
+    cell_q = int(os.environ.get("NR_MESH_CELL_Q", "8"))
+
     def entry_cell(oc, dc):
         def axis(mn, mx, oo, dd):
             inv = 1.0 / jnp.where(jnp.abs(dd) < 1e-20, 1e-20, dd)
@@ -474,9 +483,10 @@ def intersect_triangles_mesh(ma: MeshAccel, o: V3, d: V3, t_min: float,
         tn = jnp.maximum(
             jnp.maximum(jnp.maximum(ex0, ey0), ez0), jnp.float32(t_min))
         q = lambda v, mn, mx: jnp.clip(
-            ((v - mn) / (mx - mn) * 8).astype(jnp.int32), 0, 7)
-        cell = (q(oc.x + tn * dc.x, mesh_min[0], mesh_max[0]) * 64
-                + q(oc.y + tn * dc.y, mesh_min[1], mesh_max[1]) * 8
+            ((v - mn) / (mx - mn) * cell_q).astype(jnp.int32), 0,
+            cell_q - 1)
+        cell = (q(oc.x + tn * dc.x, mesh_min[0], mesh_max[0]) * cell_q**2
+                + q(oc.y + tn * dc.y, mesh_min[1], mesh_max[1]) * cell_q
                 + q(oc.z + tn * dc.z, mesh_min[2], mesh_max[2]))
         oct_ = ((dc.x > 0).astype(jnp.int32) * 4
                 + (dc.y > 0).astype(jnp.int32) * 2
@@ -508,9 +518,36 @@ def intersect_triangles_mesh(ma: MeshAccel, o: V3, d: V3, t_min: float,
             interpret=interpret)
         oc = V3(sp.packed[0], sp.packed[1], sp.packed[2])
         dc = V3(sp.packed[3], sp.packed[4], sp.packed[5])
-        t, idx, nxs, nys, nzs, mat = sweep_mesh_full(
-            ma.bt, oc, dc, t_min, t_cap=sp.packed[6], n_valid=sp.n_valid,
-            interpret=interpret)
+        if os.environ.get("NR_MESH_SORT", "1") != "0":
+            # entry-cell sort of the COMPACTED buffer (stream-engine
+            # DEFAULT; bunny-5k 9.1 -> 7.6 s): mid-chain bounce
+            # wavefronts scatter (r4 chain_trace: sweep 54.5 ms at the
+            # coherent camera bounce -> 238.7 ms at bounce 1, full
+            # block-union saturation), and with the stream pack the pipe
+            # cost around the sweep is ~4 ms, so the two lax.sorts that
+            # LOST against the shift pack's pipe in r3 can now pay.
+            # Garbage slots (pack claims + the unflushed tail, whose
+            # t_cap bits are uninitialized) are keyed to sort LAST and
+            # killed by a zeroed cap.
+            cap_pad = sp.packed[0].shape[0]
+            pslot = jnp.arange(cap_pad, dtype=jnp.int32)
+            tc = jnp.where(pslot < sp.n_valid, sp.packed[6], 0.0)
+            key = jnp.where(tc > 0.0, entry_cell(oc, dc),
+                            jnp.int32(1 << 30))
+            (_, ox, oy, oz, dx, dy, dz, tcs, p_carried) = jax.lax.sort(
+                (key, oc.x, oc.y, oc.z, dc.x, dc.y, dc.z, tc, pslot),
+                num_keys=1)
+            oc, dc = V3(ox, oy, oz), V3(dx, dy, dz)
+            t, idx, nxs, nys, nzs, mat = sweep_mesh_full(
+                ma.bt, oc, dc, t_min, t_cap=tcs, interpret=interpret)
+            # unsort: p_carried is a permutation — a unique-key sort
+            # restores pack-slot order for the streaming unpack
+            (_, t, idx, nxs, nys, nzs, mat) = jax.lax.sort(
+                (p_carried, t, idx, nxs, nys, nzs, mat), num_keys=1)
+        else:
+            t, idx, nxs, nys, nzs, mat = sweep_mesh_full(
+                ma.bt, oc, dc, t_min, t_cap=sp.packed[6],
+                n_valid=sp.n_valid, interpret=interpret)
         if fold:
             code = jnp.where(idx >= 0,
                              mat * 131072.0 + idx.astype(jnp.float32),

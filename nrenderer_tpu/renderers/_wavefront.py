@@ -76,7 +76,7 @@ def build_staged_wavefront_fn(width: int, height: int, spp: int, chunk: int,
     # `.at[pix].add` scatter (~140M elem/s on TPU; the banks were 1.46 s
     # of the 13.6 s bunny-5k render, r4 phase attribution).  "shift":
     # the XLA log-shift pack + pix scatter-add (r3 engine).
-    pack_mode = os.environ.get("NR_WAVE_PACK", "shift")
+    pack_mode = os.environ.get("NR_WAVE_PACK", "stream")
     jj = np.tile(np.tile(np.arange(width, dtype=np.float32), height), chunk)
     ii = np.tile(np.repeat(np.arange(height, dtype=np.float32), width), chunk)
 

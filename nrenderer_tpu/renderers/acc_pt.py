@@ -159,7 +159,7 @@ _FN_CACHE: Dict[str, Callable] = {}
 def get_render_fn(ss: StaticScene, *shape_args) -> Callable:
     # NR_WAVE_PACK is read at BUILD time by the staged wavefront; it must
     # key the cache or an env flip mid-process would reuse the other engine
-    wave_pack = os.environ.get("NR_WAVE_PACK", "shift")
+    wave_pack = os.environ.get("NR_WAVE_PACK", "stream")
     key = hashlib.sha1(repr((ss, shape_args, wave_pack)).encode()).hexdigest()
     fn = _FN_CACHE.get(key)
     if fn is None:

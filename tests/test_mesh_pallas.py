@@ -286,3 +286,28 @@ def test_mesh_sort_mode_identical(setup, monkeypatch):
     b = mp.intersect_triangles_mesh(ma, o, dv, 1e-3, t_dense, ch)
     for got, want in zip(a[:6], b[:6]):
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_mesh_sort_stream_identical(setup, monkeypatch):
+    """NR_MESH_SORT=1 on the STREAM pack engine (entry-cell sort of the
+    compacted buffer, unsort before the streaming unpack) must also be
+    bit-identical — garbage claim slots and the uninitialized tail are
+    keyed last and cap-killed."""
+    import nrenderer_tpu.ops.mesh_pallas as mp
+
+    ma, ch, o, dv, blocked = setup
+    n = o.x.shape[0]
+    flip = (jnp.arange(n) % 5 == 0)
+    sgn = jnp.where(flip, -1.0, 1.0)
+    d2 = V3(dv.x * sgn, dv.y * sgn, dv.z * sgn)
+    t_dense = jnp.full((n,), jnp.inf)
+    monkeypatch.setattr(mp, "MESH_COMPACT_MIN", 64)
+    monkeypatch.setenv("NR_STREAM_ROWS", "64")
+    monkeypatch.setenv("NR_MESH_PACK", "stream")
+    monkeypatch.setenv("NR_MESH_SORT", "0")
+    a = mp.intersect_triangles_mesh(ma, o, d2, 1e-3, t_dense, ch)
+    monkeypatch.setenv("NR_MESH_SORT", "1")
+    b = mp.intersect_triangles_mesh(ma, o, d2, 1e-3, t_dense, ch)
+    for got, want in zip(a[:6], b[:6]):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    assert np.isfinite(np.asarray(a[0])).sum() > 500
