@@ -322,6 +322,69 @@ def _serve_tail(viewer, final_img) -> int:
     return 0
 
 
+def _cmd_edit(args) -> int:
+    """Interactive edit-and-re-render loop: the headless AssetView
+    (reference `AssetView.cpp:158-641` — edit camera/materials/entities/
+    lights in a panel, then re-render).  Serves the editor page + live
+    frame; every applied edit re-renders and refreshes the browser."""
+    import nrenderer_tpu
+    nrenderer_tpu._register_builtin_renderers()
+    from .server.manager import ComponentManager
+    from .server.registry import UnknownComponentError, get_server
+    from .server.editor import SceneEditor
+    from .server.viewer import ScreenViewer
+    from .io.image import write_png
+    from .io.scn import ScnParseError
+    from .io.obj import ObjParseError
+
+    try:
+        scene = _build_scene(args)
+    except (ScnParseError, ObjParseError) as exc:
+        print(f"error: scene import failed: {exc}", file=sys.stderr)
+        return 2
+
+    known = {i.name for i in
+             get_server().component_factory.get_components_info("Render")}
+    if args.renderer not in known:
+        print(f"error: unknown renderer {args.renderer!r}; "
+              f"available: {', '.join(sorted(known))}", file=sys.stderr)
+        return 2
+
+    editor = SceneEditor(scene)
+    mgr = ComponentManager()
+    viewer = ScreenViewer(get_server().screen, port=args.serve or 0,
+                          state_fn=lambda: mgr.state.name,
+                          routes=editor.routes).start()
+    print(f"editor: {viewer.url} (Ctrl-C to exit)", file=sys.stderr)
+    try:
+        while True:
+            editor.mark_rendering(True)
+            version = editor.version
+            t0 = time.perf_counter()
+            mgr.exec(args.renderer, scene)
+            result = mgr.wait()
+            editor.mark_rendering(False)
+            if result is None:
+                print(f"render failed: {mgr.error!r} (edit + apply "
+                      "to retry)", file=sys.stderr)
+            else:
+                img = np.clip(np.asarray(result.pixels, np.float32),
+                              0.0, 1.0)
+                get_server().screen.set(img, img.shape[1], img.shape[0])
+                if args.out:
+                    write_png(args.out, result.pixels)
+                print(f"rendered scene v{version} in "
+                      f"{time.perf_counter() - t0:.2f}s", file=sys.stderr)
+            # block until the next applied edit (short poll: Ctrl-C stays
+            # responsive inside Event.wait on some platforms)
+            while not editor.wait_dirty(timeout=0.5):
+                pass
+    except KeyboardInterrupt:
+        pass
+    viewer.stop()
+    return 0
+
+
 def _cmd_list(args) -> int:
     import nrenderer_tpu
     nrenderer_tpu._register_builtin_renderers()
@@ -339,31 +402,34 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="nrenderer_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
 
+    def add_shared(p, spp_default=16):
+        p.add_argument("--scene", help=".scn scene file")
+        p.add_argument("--obj", action="append", default=[],
+                       help="OBJ mesh file (repeatable)")
+        p.add_argument("--renderer", default="SimplePathTracer")
+        p.add_argument("--width", type=int, default=500)
+        p.add_argument("--height", type=int, default=500)
+        p.add_argument("--depth", type=int, default=20)
+        p.add_argument("--spp", type=int, default=spp_default)
+        p.add_argument("--out", default="out.png")
+        p.add_argument("--camera-position", nargs=3, type=float)
+        p.add_argument("--camera-look-at", nargs=3, type=float)
+        p.add_argument("--fov", type=float)
+        p.add_argument("--aperture", type=float)
+        p.add_argument("--ambient", nargs=3, type=float,
+                       help="constant ambient RGB")
+        p.add_argument("--env-map", help="environment map image")
+        p.add_argument("--roughness", type=float,
+                       help="global microfacet roughness override "
+                            "(reference RenderSettings global, now live)")
+        p.add_argument("--f0", type=float,
+                       help="global microfacet F0 override")
+        p.add_argument("--metalness", type=float,
+                       help="global microfacet metalness override")
+        p.add_argument("--seed", type=int, default=0)
+
     pr = sub.add_parser("render", help="render a scene")
-    pr.add_argument("--scene", help=".scn scene file")
-    pr.add_argument("--obj", action="append", default=[],
-                    help="OBJ mesh file (repeatable)")
-    pr.add_argument("--renderer", default="SimplePathTracer")
-    pr.add_argument("--width", type=int, default=500)
-    pr.add_argument("--height", type=int, default=500)
-    pr.add_argument("--depth", type=int, default=20)
-    pr.add_argument("--spp", type=int, default=16)
-    pr.add_argument("--out", default="out.png")
-    pr.add_argument("--camera-position", nargs=3, type=float)
-    pr.add_argument("--camera-look-at", nargs=3, type=float)
-    pr.add_argument("--fov", type=float)
-    pr.add_argument("--aperture", type=float)
-    pr.add_argument("--ambient", nargs=3, type=float,
-                    help="constant ambient RGB")
-    pr.add_argument("--env-map", help="environment map image")
-    pr.add_argument("--roughness", type=float,
-                    help="global microfacet roughness override "
-                         "(reference RenderSettings global, now live)")
-    pr.add_argument("--f0", type=float,
-                    help="global microfacet F0 override")
-    pr.add_argument("--metalness", type=float,
-                    help="global microfacet metalness override")
-    pr.add_argument("--seed", type=int, default=0)
+    add_shared(pr)
     pr.add_argument("--progressive", action="store_true",
                     help="render in passes with live Screen previews "
                          "(SimplePathTracer; AccPathTracer previews "
@@ -392,6 +458,15 @@ def main(argv=None) -> int:
     pr.add_argument("--mutations", type=int,
                     help="MLT: mutations per chain (default 256)")
     pr.set_defaults(fn=_cmd_render)
+
+    pe = sub.add_parser(
+        "edit", help="interactive scene editor: serve an edit panel + "
+                     "live view, re-rendering on every applied change "
+                     "(the headless AssetView)")
+    add_shared(pe)
+    pe.add_argument("--serve", type=int, default=0, metavar="PORT",
+                    help="editor HTTP port (0 = auto-pick)")
+    pe.set_defaults(fn=_cmd_edit)
 
     pl = sub.add_parser("list-renderers", help="list registered renderers")
     pl.set_defaults(fn=_cmd_list)

@@ -1,0 +1,471 @@
+"""Interactive scene editing over HTTP: the headless analogue of the
+reference's AssetView scene editor
+(`/root/reference/code/app/src/ui/views/AssetView.cpp:158-641`), which
+lets the user tweak camera / materials / entities / lights / render
+settings in an ImGui panel and re-render.
+
+Here the editable state is a JSON *document* derived from the live
+`Scene` dataclasses:
+
+  - `scene_doc(scene)`   -> plain-JSON dict of every editable leaf
+  - `apply_doc(scene, doc)` -> diff the submitted doc against the current
+    one and write changed leaves back into the Scene objects (with type
+    coercion + validation), returning the list of changed paths
+
+and `SceneEditor` packages that as HTTP routes for `ScreenViewer`:
+
+  - `GET  /scene`  current document + version + render state
+  - `POST /scene`  submit an edited document; changed leaves are applied
+                   and a re-render is requested (the CLI `edit` loop waits
+                   on `wait_dirty()`)
+  - `GET  /`       combined live-view + editor page (replaces the plain
+                   viewer page)
+
+Scope mirrors what the reference panel edits in place: camera, render
+option, ambient, material type + properties (add/remove/change), model
+transforms, entity geometry parameters and material bindings, and all
+four light types.  Adding/removing whole entities is out of scope (the
+reference's "add node" flow rebuilds GL buffers; here geometry counts are
+baked into compiled kernels, so structural edits go through the Python
+`Scene` API / importers instead — documented divergence).
+
+Note on cost: scene values are trace-time constants in the renderers
+(`ops/intersect.py`), so every applied edit re-traces/re-compiles the
+preview render.  The `edit` CLI therefore defaults to small preview
+settings; `render_option` in the doc is live if the user wants more.
+"""
+from __future__ import annotations
+
+import json
+import threading
+from typing import Any, Dict, List, Tuple
+
+from ..scene.model import (Ambient, AmbientType, Camera, Material, Property,
+                           PropertyType, RenderOption, Scene)
+
+# ---------------------------------------------------------------------------
+# Scene -> editable JSON document
+# ---------------------------------------------------------------------------
+
+_CAMERA_FIELDS = ("position", "up", "look_at", "fov", "aperture",
+                  "focus_distance", "aspect")
+_OPTION_FIELDS = ("width", "height", "depth", "samples_per_pixel",
+                  "acc_type", "roughness", "f0", "metalness")
+_SPHERE_FIELDS = ("position", "radius", "direction", "material")
+_TRIANGLE_FIELDS = ("v1", "v2", "v3", "material")
+_PLANE_FIELDS = ("normal", "position", "u", "v", "material")
+_MODEL_FIELDS = ("translation", "scale")
+_LIGHT_FIELDS = {
+    "point": ("intensity", "position"),
+    "area": ("radiance", "position", "u", "v"),
+    "directional": ("irradiance", "direction"),
+    "spot": ("intensity", "position", "direction", "hot_spot", "fallout"),
+}
+_LIGHT_BUFFERS = {
+    "point": "point_light_buffer",
+    "area": "area_light_buffer",
+    "directional": "directional_light_buffer",
+    "spot": "spot_light_buffer",
+}
+
+
+def _leaf(v):
+    """Dataclass field value -> JSON leaf (tuples become lists)."""
+    if isinstance(v, tuple):
+        return [float(x) for x in v]
+    return v
+
+
+def _fields_doc(obj, fields) -> Dict[str, Any]:
+    return {f: _leaf(getattr(obj, f)) for f in fields}
+
+
+def scene_doc(scene: Scene) -> Dict[str, Any]:
+    """Editable JSON document for `scene` (see module doc for scope)."""
+    doc: Dict[str, Any] = {
+        "camera": _fields_doc(scene.camera, _CAMERA_FIELDS),
+        "render_option": _fields_doc(scene.render_option, _OPTION_FIELDS),
+        "ambient": {
+            "type": scene.ambient.type.name,
+            "constant": _leaf(scene.ambient.constant),
+        },
+        "materials": [
+            {
+                "name": m.name,
+                "type": m.type,
+                "properties": {p.key: _leaf(p.value) for p in m.properties},
+            }
+            for m in scene.materials
+        ],
+        "models": [
+            dict(name=m.name, **_fields_doc(m, _MODEL_FIELDS))
+            for m in scene.models
+        ],
+        "spheres": [_fields_doc(s, _SPHERE_FIELDS)
+                    for s in scene.sphere_buffer],
+        "triangles": [_fields_doc(t, _TRIANGLE_FIELDS)
+                      for t in scene.triangle_buffer],
+        "planes": [_fields_doc(p, _PLANE_FIELDS)
+                   for p in scene.plane_buffer],
+        # mesh geometry is bulk data; only the material binding is editable
+        "meshes": [{"material": m.material,
+                    "faces": int(len(m.position_indices) // 3)}
+                   for m in scene.mesh_buffer],
+        "lights": {
+            kind: [_fields_doc(lt, _LIGHT_FIELDS[kind])
+                   for lt in getattr(scene, buf)]
+            for kind, buf in _LIGHT_BUFFERS.items()
+        },
+        # read-only context for the panel
+        "textures": [t.name for t in scene.textures],
+    }
+    return doc
+
+
+# ---------------------------------------------------------------------------
+# Document -> Scene (diff + coerced write-back)
+# ---------------------------------------------------------------------------
+
+class EditError(ValueError):
+    """A submitted edit failed validation; nothing past it was applied."""
+
+
+def _flatten(doc: Any, prefix: str = "") -> Dict[str, Any]:
+    out: Dict[str, Any] = {}
+    if isinstance(doc, dict):
+        for k, v in doc.items():
+            out.update(_flatten(v, f"{prefix}.{k}" if prefix else str(k)))
+    elif isinstance(doc, list) and doc and isinstance(doc[0], (dict, list)):
+        for i, v in enumerate(doc):
+            out.update(_flatten(v, f"{prefix}[{i}]"))
+    else:
+        out[prefix] = doc
+    return out
+
+
+def _coerce_like(cur, new, path: str):
+    """Coerce JSON leaf `new` to the python type of the current value."""
+    try:
+        if isinstance(cur, tuple):
+            if not isinstance(new, (list, tuple)) or len(new) != len(cur):
+                raise EditError(f"{path}: expected {len(cur)} numbers")
+            return tuple(float(x) for x in new)
+        if isinstance(cur, bool):  # before int (bool is an int subclass)
+            return bool(new)
+        if isinstance(cur, int):
+            return int(new)
+        if isinstance(cur, float):
+            return float(new)
+        if cur is None:  # Optional[float] knobs (roughness/f0/metalness)
+            return None if new is None else float(new)
+    except (TypeError, ValueError):
+        raise EditError(f"{path}: bad value {new!r}")
+    raise EditError(f"{path}: field is not editable")
+
+
+_PROP_COERCE = {
+    PropertyType.INT: lambda v: int(v),
+    PropertyType.FLOAT: lambda v: float(v),
+    PropertyType.TEXTURE_ID: lambda v: int(v),
+    PropertyType.RGB: lambda v: tuple(float(x) for x in v),
+    PropertyType.VEC3: lambda v: tuple(float(x) for x in v),
+    PropertyType.RGBA: lambda v: tuple(float(x) for x in v),
+    PropertyType.VEC4: lambda v: tuple(float(x) for x in v),
+}
+_PROP_ARITY = {PropertyType.RGB: 3, PropertyType.VEC3: 3,
+               PropertyType.RGBA: 4, PropertyType.VEC4: 4}
+
+
+def _infer_prop(key: str, value, path: str) -> Property:
+    """New property (key not on the material yet): infer a type the way the
+    reference panel's typed 'add property' buttons do (AssetView.cpp:330+)."""
+    if isinstance(value, (int, float)) and not isinstance(value, bool):
+        t = PropertyType.FLOAT if isinstance(value, float) else PropertyType.INT
+        return Property(key, t, _PROP_COERCE[t](value))
+    if isinstance(value, (list, tuple)) and len(value) == 3:
+        return Property(key, PropertyType.RGB,
+                        tuple(float(x) for x in value))
+    if isinstance(value, (list, tuple)) and len(value) == 4:
+        return Property(key, PropertyType.RGBA,
+                        tuple(float(x) for x in value))
+    raise EditError(f"{path}: cannot infer property type")
+
+
+def _apply_material(mat: Material, mdoc: Dict[str, Any],
+                    path: str, changed: List[str]) -> None:
+    if not isinstance(mdoc, dict):
+        raise EditError(f"{path}: expected an object")
+    if "type" in mdoc and int(mdoc["type"]) != mat.type:
+        mat.type = int(mdoc["type"])
+        changed.append(f"{path}.type")
+    if "name" in mdoc and str(mdoc["name"]) != mat.name:
+        mat.name = str(mdoc["name"])
+        changed.append(f"{path}.name")
+    props = mdoc.get("properties", None)
+    if props is None:
+        return
+    if not isinstance(props, dict):
+        raise EditError(f"{path}.properties: expected an object")
+    for key, val in props.items():
+        ppath = f"{path}.properties.{key}"
+        existing = next((p for p in mat.properties if p.key == key), None)
+        if val is None:  # null deletes (reference panel's remove button)
+            if existing is not None:
+                mat.remove_property(key)
+                changed.append(ppath)
+            continue
+        if existing is None:
+            mat.register_property(_infer_prop(key, val, ppath))
+            changed.append(ppath)
+            continue
+        arity = _PROP_ARITY.get(existing.type)
+        if arity is not None and (not isinstance(val, (list, tuple))
+                                  or len(val) != arity):
+            raise EditError(f"{ppath}: expected {arity} numbers")
+        try:
+            new = _PROP_COERCE[existing.type](val)
+        except (TypeError, ValueError):
+            raise EditError(f"{ppath}: bad value for {existing.type.value}")
+        if new != existing.value:
+            existing.value = new
+            changed.append(ppath)
+    # keys absent from the submitted dict are left alone (partial docs OK)
+
+
+def _apply_fields(obj, odoc: Dict[str, Any], fields, path: str,
+                  changed: List[str]) -> None:
+    if not isinstance(odoc, dict):
+        raise EditError(f"{path}: expected an object")
+    for f in fields:
+        if f not in odoc:
+            continue
+        cur = getattr(obj, f)
+        new = _coerce_like(cur, odoc[f], f"{path}.{f}")
+        if new != cur:
+            setattr(obj, f, new)
+            changed.append(f"{path}.{f}")
+
+
+def _apply_list(items, docs, fields, path: str, changed: List[str]) -> None:
+    if not isinstance(docs, list):
+        raise EditError(f"{path}: expected a list")
+    if len(docs) != len(items):
+        raise EditError(f"{path}: length {len(docs)} != {len(items)} "
+                        "(adding/removing entities is not supported here; "
+                        "use the Python Scene API)")
+    for i, (obj, odoc) in enumerate(zip(items, docs)):
+        _apply_fields(obj, odoc, fields, f"{path}[{i}]", changed)
+
+
+def apply_doc(scene: Scene, doc: Dict[str, Any]) -> List[str]:
+    """Apply an edited document to `scene`; returns the changed paths.
+
+    Partial documents are fine — only keys present are considered, and
+    only leaves that differ from the current value are written.  Raises
+    `EditError` on malformed input; edits before the failing leaf may
+    already be applied (the CLI loop re-renders regardless, so a partial
+    apply is visible, not silent).
+    """
+    if not isinstance(doc, dict):
+        raise EditError("document root must be an object")
+    changed: List[str] = []
+    if "camera" in doc:
+        _apply_fields(scene.camera, doc["camera"], _CAMERA_FIELDS,
+                      "camera", changed)
+    if "render_option" in doc:
+        _apply_fields(scene.render_option, doc["render_option"],
+                      _OPTION_FIELDS, "render_option", changed)
+    if "ambient" in doc:
+        adoc = doc["ambient"]
+        if not isinstance(adoc, dict):
+            raise EditError("ambient: expected an object")
+        if "type" in adoc:
+            try:
+                new_t = AmbientType[str(adoc["type"])]
+            except KeyError:
+                names = ", ".join(t.name for t in AmbientType)
+                raise EditError(f"ambient.type: one of {names}")
+            if new_t != scene.ambient.type:
+                if (new_t is AmbientType.ENVIRONMENT_MAP
+                        and scene.ambient.environment_map < 0):
+                    raise EditError("ambient.type: no environment map loaded")
+                scene.ambient.type = new_t
+                changed.append("ambient.type")
+        _apply_fields(scene.ambient, adoc, ("constant",), "ambient", changed)
+    if "materials" in doc:
+        mdocs = doc["materials"]
+        if not isinstance(mdocs, list) or len(mdocs) != len(scene.materials):
+            raise EditError(f"materials: expected a list of "
+                            f"{len(scene.materials)}")
+        for i, (mat, mdoc) in enumerate(zip(scene.materials, mdocs)):
+            _apply_material(mat, mdoc, f"materials[{i}]", changed)
+    if "models" in doc:
+        _apply_list(scene.models, doc["models"], _MODEL_FIELDS,
+                    "models", changed)
+    if "spheres" in doc:
+        _apply_list(scene.sphere_buffer, doc["spheres"], _SPHERE_FIELDS,
+                    "spheres", changed)
+    if "triangles" in doc:
+        _apply_list(scene.triangle_buffer, doc["triangles"],
+                    _TRIANGLE_FIELDS, "triangles", changed)
+    if "planes" in doc:
+        _apply_list(scene.plane_buffer, doc["planes"], _PLANE_FIELDS,
+                    "planes", changed)
+    if "meshes" in doc:
+        _apply_list(scene.mesh_buffer, doc["meshes"], ("material",),
+                    "meshes", changed)
+    if "lights" in doc:
+        ldoc = doc["lights"]
+        if not isinstance(ldoc, dict):
+            raise EditError("lights: expected an object")
+        for kind, buf in _LIGHT_BUFFERS.items():
+            if kind in ldoc:
+                _apply_list(getattr(scene, buf), ldoc[kind],
+                            _LIGHT_FIELDS[kind], f"lights.{kind}", changed)
+    # validate material bindings stay in range
+    n_mat = len(scene.materials)
+    for group in (scene.sphere_buffer, scene.triangle_buffer,
+                  scene.plane_buffer, scene.mesh_buffer):
+        for obj in group:
+            if not (-1 <= obj.material < n_mat):
+                raise EditError(f"material index {obj.material} out of "
+                                f"range (0..{n_mat - 1})")
+    return changed
+
+
+# ---------------------------------------------------------------------------
+# HTTP surface
+# ---------------------------------------------------------------------------
+
+_EDIT_PAGE = b"""<!doctype html>
+<html><head><title>nrenderer-tpu editor</title><style>
+body { background:#181818; color:#ccc; font-family:monospace; margin:0;
+       display:flex; height:100vh; }
+#left { flex:1; display:flex; flex-direction:column; align-items:center;
+        padding:8px; overflow:auto; }
+#right { width:44%; display:flex; flex-direction:column; padding:8px;
+         border-left:1px solid #333; }
+img { image-rendering:pixelated; border:1px solid #444; max-width:100%;
+      max-height:80vh; }
+textarea { flex:1; background:#111; color:#9c9; border:1px solid #333;
+           font-family:monospace; font-size:12px; }
+button { margin-top:6px; padding:6px; background:#264; color:#eee;
+         border:1px solid #486; cursor:pointer; }
+#msg { color:#c96; min-height:2em; white-space:pre-wrap; }
+</style></head><body>
+<div id="left"><h3 id="st">waiting...</h3><img id="frame"/></div>
+<div id="right">
+  <div>scene document (edit + apply to re-render)</div>
+  <textarea id="doc" spellcheck="false"></textarea>
+  <button id="apply">apply + re-render</button>
+  <button id="reload">reload from server</button>
+  <div id="msg"></div>
+</div>
+<script>
+let last = -1, version = -1;
+async function loadDoc() {
+  const r = await fetch('/scene');
+  const s = await r.json();
+  version = s.version;
+  document.getElementById('doc').value = JSON.stringify(s.doc, null, 2);
+}
+async function tick() {
+  try {
+    const r = await fetch('/status');
+    const s = await r.json();
+    document.getElementById('st').textContent =
+      `${s.width}x${s.height}  frame ${s.frame}  state ${s.state}`;
+    if (s.frame !== last && s.frame > 0) {
+      last = s.frame;
+      document.getElementById('frame').src = '/frame.png?f=' + s.frame;
+    }
+  } catch (e) {}
+  setTimeout(tick, 500);
+}
+document.getElementById('apply').onclick = async () => {
+  const msg = document.getElementById('msg');
+  try {
+    const r = await fetch('/scene', {method: 'POST',
+      body: document.getElementById('doc').value});
+    const s = await r.json();
+    msg.textContent = s.error ? ('error: ' + s.error)
+      : (s.changed.length ? 'applied: ' + s.changed.join(', ')
+                          : 'no changes');
+  } catch (e) { msg.textContent = 'request failed: ' + e; }
+};
+document.getElementById('reload').onclick = loadDoc;
+loadDoc(); tick();
+</script></body></html>"""
+
+
+class SceneEditor:
+    """Owns the editable scene + the dirty flag the render loop waits on.
+
+    Thread contract: `routes` handlers run on the HTTP server threads;
+    `wait_dirty` / `mark_rendering` run on the render loop thread.  The
+    scene itself is only MUTATED under `_lock`, and the render loop is
+    expected to call `snapshot_version()` before rendering so late edits
+    re-trigger.
+    """
+
+    def __init__(self, scene: Scene):
+        self._scene = scene
+        self._lock = threading.Lock()
+        self._dirty = threading.Event()
+        self._version = 0
+        self._rendering = False
+
+    # -- render-loop side --------------------------------------------------
+
+    def wait_dirty(self, timeout: float = None) -> bool:
+        if self._dirty.wait(timeout):
+            self._dirty.clear()
+            return True
+        return False
+
+    def mark_rendering(self, flag: bool) -> None:
+        self._rendering = flag
+
+    @property
+    def version(self) -> int:
+        return self._version
+
+    # -- HTTP side -----------------------------------------------------------
+
+    def _get_scene(self, method, body) -> Tuple[int, str, bytes]:
+        with self._lock:
+            payload = {"version": self._version,
+                       "rendering": self._rendering,
+                       "doc": scene_doc(self._scene)}
+        return 200, "application/json", json.dumps(payload).encode()
+
+    def _post_scene(self, body: bytes) -> Tuple[int, str, bytes]:
+        try:
+            doc = json.loads(body.decode("utf-8"))
+        except (UnicodeDecodeError, json.JSONDecodeError) as exc:
+            return 400, "application/json", json.dumps(
+                {"error": f"bad JSON: {exc}"}).encode()
+        with self._lock:
+            try:
+                changed = apply_doc(self._scene, doc)
+            except EditError as exc:
+                return 400, "application/json", json.dumps(
+                    {"error": str(exc)}).encode()
+            if changed:
+                self._version += 1
+                self._dirty.set()
+            payload = {"version": self._version, "changed": changed}
+        return 200, "application/json", json.dumps(payload).encode()
+
+    def _scene_route(self, method: str, body: bytes):
+        if method == "POST":
+            return self._post_scene(body)
+        return self._get_scene(method, body)
+
+    @property
+    def routes(self):
+        """Route table for `ScreenViewer(..., routes=...)`."""
+        return {
+            "/": lambda m, b: (200, "text/html", _EDIT_PAGE),
+            "/scene": self._scene_route,
+        }

@@ -59,9 +59,14 @@ class ScreenViewer:
     """Serves a `Screen`'s progressive frames over HTTP (see module doc)."""
 
     def __init__(self, screen, port: int = 0,
-                 state_fn: Optional[Callable[[], str]] = None):
+                 state_fn: Optional[Callable[[], str]] = None,
+                 routes: Optional[dict] = None):
         self._screen = screen
         self._state_fn = state_fn or (lambda: "-")
+        # custom routes take precedence over the built-ins: a handler is
+        # `fn(method, body) -> (code, content_type, bytes)` — used by the
+        # scene editor (`server/editor.py`) to replace `/` and add /scene
+        self._routes = dict(routes or {})
         self._frame = 0
         self._png: Optional[bytes] = None
         self._lock = threading.Lock()
@@ -118,7 +123,28 @@ class ScreenViewer:
                 self.end_headers()
                 self.wfile.write(body)
 
+            def _dispatch_custom(self, method):
+                path = self.path.split("?")[0]
+                route = viewer._routes.get(path)
+                if route is None:
+                    return False
+                length = int(self.headers.get("Content-Length") or 0)
+                body = self.rfile.read(length) if length else b""
+                try:
+                    code, ctype, payload = route(method, body)
+                except Exception as exc:  # keep the connection protocol-clean
+                    code, ctype = 500, "text/plain"
+                    payload = f"internal error: {exc!r}".encode()
+                self._send(code, ctype, payload)
+                return True
+
+            def do_POST(self):
+                if not self._dispatch_custom("POST"):
+                    self._send(404, "text/plain", b"not found")
+
             def do_GET(self):
+                if self._dispatch_custom("GET"):
+                    return
                 path = self.path.split("?")[0]
                 if path == "/":
                     self._send(200, "text/html", _PAGE)

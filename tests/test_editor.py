@@ -1,0 +1,271 @@
+"""Scene-editor tests: the headless AssetView analogue
+(reference `AssetView.cpp:158-641` — the ImGui panel that edits camera /
+materials / entities / lights in place and re-renders).
+
+Covers the document round-trip, coerced write-back with validation, the
+HTTP surface (`GET/POST /scene`), and an end-to-end edit -> re-render loop
+through the CLI plumbing.
+"""
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from nrenderer_tpu.io.scn import load_scn
+from nrenderer_tpu.scene.model import (AmbientType, PropertyType, Scene)
+from nrenderer_tpu.server.editor import (EditError, SceneEditor, apply_doc,
+                                         scene_doc)
+
+RES = "/root/reference/resource"
+
+
+@pytest.fixture()
+def cornel():
+    return load_scn(f"{RES}/path_tracing_cornel.scn")
+
+
+# ---------------------------------------------------------------------------
+# document round-trip + apply
+# ---------------------------------------------------------------------------
+
+def test_doc_roundtrip_is_noop(cornel):
+    doc = scene_doc(cornel)
+    # the doc must be plain JSON
+    doc2 = json.loads(json.dumps(doc))
+    assert apply_doc(cornel, doc2) == []
+
+
+def test_doc_covers_scene_surface(cornel):
+    doc = scene_doc(cornel)
+    assert doc["camera"]["fov"] == cornel.camera.fov
+    assert doc["render_option"]["samples_per_pixel"] == \
+        cornel.render_option.samples_per_pixel
+    assert len(doc["materials"]) == len(cornel.materials)
+    assert len(doc["triangles"]) == len(cornel.triangle_buffer)
+    assert doc["ambient"]["type"] in ("CONSTANT", "ENVIRONMENT_MAP")
+
+
+def test_apply_camera_and_option(cornel):
+    doc = scene_doc(cornel)
+    doc["camera"]["fov"] = 55.0
+    doc["camera"]["position"] = [0.0, 1.0, 9.0]
+    doc["render_option"]["samples_per_pixel"] = 4
+    changed = apply_doc(cornel, doc)
+    assert set(changed) == {"camera.fov", "camera.position",
+                            "render_option.samples_per_pixel"}
+    assert cornel.camera.fov == 55.0
+    assert cornel.camera.position == (0.0, 1.0, 9.0)  # tuple, not list
+    assert isinstance(cornel.camera.position, tuple)
+    assert cornel.render_option.samples_per_pixel == 4
+
+
+def test_apply_material_property_preserves_type(cornel):
+    doc = scene_doc(cornel)
+    # find a material with a diffuseColor property
+    idx = next(i for i, m in enumerate(doc["materials"])
+               if "diffuseColor" in m["properties"])
+    doc["materials"][idx]["properties"]["diffuseColor"] = [0.9, 0.1, 0.2]
+    changed = apply_doc(cornel, doc)
+    assert changed == [f"materials[{idx}].properties.diffuseColor"]
+    prop = next(p for p in cornel.materials[idx].properties
+                if p.key == "diffuseColor")
+    assert prop.type == PropertyType.RGB
+    assert prop.value == (0.9, 0.1, 0.2)
+
+
+def test_add_and_remove_property(cornel):
+    doc = scene_doc(cornel)
+    doc["materials"][0]["properties"]["roughness"] = 0.25
+    changed = apply_doc(cornel, doc)
+    assert "materials[0].properties.roughness" in changed
+    assert cornel.materials[0].get_property("roughness") == 0.25
+    # null deletes (the panel's remove button)
+    doc = scene_doc(cornel)
+    doc["materials"][0]["properties"]["roughness"] = None
+    apply_doc(cornel, doc)
+    assert cornel.materials[0].get_property("roughness") is None
+
+
+def test_partial_doc_ok(cornel):
+    old_fov = cornel.camera.fov
+    changed = apply_doc(cornel, {"camera": {"aperture": 0.5}})
+    assert changed == ["camera.aperture"]
+    assert cornel.camera.fov == old_fov
+
+
+def test_validation_errors(cornel):
+    with pytest.raises(EditError):  # wrong arity for a vec3
+        apply_doc(cornel, {"camera": {"position": [1.0, 2.0]}})
+    with pytest.raises(EditError):  # entity add/remove unsupported
+        apply_doc(cornel, {"spheres": [{}] * (len(cornel.sphere_buffer) + 1)})
+    with pytest.raises(EditError):  # bad ambient enum
+        apply_doc(cornel, {"ambient": {"type": "NOPE"}})
+    with pytest.raises(EditError):  # env-map ambient without a map loaded
+        scene = Scene()
+        apply_doc(scene, {"ambient": {"type": "ENVIRONMENT_MAP"}})
+    # out-of-range material binding is rejected
+    doc = scene_doc(cornel)
+    if doc["triangles"]:
+        doc["triangles"][0]["material"] = 999
+        with pytest.raises(EditError):
+            apply_doc(cornel, doc)
+
+
+def test_light_edit(cornel):
+    doc = scene_doc(cornel)
+    kinds = [k for k, v in doc["lights"].items() if v]
+    if not kinds:
+        pytest.skip("scene has no lights")
+    kind = kinds[0]
+    field = next(iter(doc["lights"][kind][0]))
+    val = doc["lights"][kind][0][field]
+    doc["lights"][kind][0][field] = ([v + 0.5 for v in val]
+                                     if isinstance(val, list) else val + 0.5)
+    changed = apply_doc(cornel, doc)
+    assert changed == [f"lights.{kind}[0].{field}"]
+
+
+# ---------------------------------------------------------------------------
+# HTTP surface
+# ---------------------------------------------------------------------------
+
+def _get(url):
+    with urllib.request.urlopen(url, timeout=10) as r:
+        return r.status, r.read()
+
+
+def _post(url, body):
+    req = urllib.request.Request(url, data=body, method="POST")
+    try:
+        with urllib.request.urlopen(req, timeout=10) as r:
+            return r.status, r.read()
+    except urllib.error.HTTPError as e:
+        return e.code, e.read()
+
+
+def test_editor_http_surface(cornel):
+    from nrenderer_tpu.server.screen import Screen
+    from nrenderer_tpu.server.viewer import ScreenViewer
+
+    editor = SceneEditor(cornel)
+    viewer = ScreenViewer(Screen(), port=0, routes=editor.routes).start()
+    try:
+        # root page is the editor panel, not the plain viewer
+        _, page = _get(viewer.url)
+        assert b"apply + re-render" in page
+        # GET /scene
+        _, body = _get(viewer.url + "scene")
+        payload = json.loads(body)
+        assert payload["version"] == 0
+        doc = payload["doc"]
+        # POST an edit -> applied + dirty
+        doc["camera"]["fov"] = 33.0
+        code, body = _post(viewer.url + "scene",
+                           json.dumps(doc).encode())
+        assert code == 200
+        resp = json.loads(body)
+        assert resp["changed"] == ["camera.fov"]
+        assert resp["version"] == 1
+        assert cornel.camera.fov == 33.0
+        assert editor.wait_dirty(timeout=1.0)
+        # a no-op POST does not set dirty or bump the version
+        code, body = _post(viewer.url + "scene", json.dumps(doc).encode())
+        assert json.loads(body)["changed"] == []
+        assert not editor.wait_dirty(timeout=0.1)
+        # malformed JSON and invalid edits -> 400 with an error message
+        code, body = _post(viewer.url + "scene", b"{nope")
+        assert code == 400 and b"bad JSON" in body
+        code, body = _post(viewer.url + "scene",
+                           json.dumps({"camera": {"fov": [1, 2]}}).encode())
+        assert code == 400
+        assert not editor.wait_dirty(timeout=0.05)
+    finally:
+        viewer.stop()
+
+
+# ---------------------------------------------------------------------------
+# end-to-end: edit -> re-render through the CLI loop
+# ---------------------------------------------------------------------------
+
+def test_edit_loop_rerenders(tmp_path, monkeypatch):
+    """Drive `nrenderer_tpu edit` like a browser: wait for the first
+    RayCast frame, flip a wall color over POST /scene, and check the
+    re-rendered frame actually changed."""
+    import re
+    import sys
+    import time as _time
+    from nrenderer_tpu.cli import main
+
+    out = tmp_path / "edit.png"
+    url_holder = {}
+    orig_stderr = sys.stderr
+
+    class Tee:
+        def write(self, s):
+            m = re.search(r"http://localhost:\d+/", s)
+            if m and "url" not in url_holder:
+                url_holder["url"] = m.group(0)
+            return orig_stderr.write(s)
+
+        def flush(self):
+            orig_stderr.flush()
+
+    monkeypatch.setattr(sys, "stderr", Tee())
+
+    rc_holder = {}
+
+    def run():
+        rc_holder["rc"] = main([
+            "edit", "--scene", f"{RES}/ray_cast_cornel.scn",
+            "--renderer", "RayCast", "--width", "24", "--height", "24",
+            "--out", str(out)])
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    # wait for the first rendered frame
+    deadline = _time.time() + 120
+    while _time.time() < deadline:
+        if "url" in url_holder:
+            try:
+                st = json.loads(_get(url_holder["url"] + "status")[1])
+                if st["frame"] >= 1:
+                    break
+            except OSError:
+                pass
+        _time.sleep(0.2)
+    else:
+        pytest.fail("first frame never arrived")
+    url = url_holder["url"]
+    _, f1 = _get(url + "frame.png")
+
+    # edit: brighten every diffuse material to pure white
+    payload = json.loads(_get(url + "scene")[1])
+    doc = payload["doc"]
+    for m in doc["materials"]:
+        if "diffuseColor" in m["properties"]:
+            m["properties"]["diffuseColor"] = [1.0, 1.0, 1.0]
+    code, body = _post(url + "scene", json.dumps(doc).encode())
+    assert code == 200 and json.loads(body)["changed"]
+
+    # wait for the re-render (frame counter moves again)
+    frame0 = json.loads(_get(url + "status")[1])["frame"]
+    deadline = _time.time() + 120
+    while _time.time() < deadline:
+        st = json.loads(_get(url + "status")[1])
+        if st["frame"] > frame0:
+            break
+        _time.sleep(0.2)
+    else:
+        pytest.fail("re-render never arrived")
+    _, f2 = _get(url + "frame.png")
+    assert f1 != f2  # the edit is visible
+
+    # decoded frames: the whitened walls are brighter on average
+    p1, p2 = tmp_path / "f1.png", tmp_path / "f2.png"
+    p1.write_bytes(f1)
+    p2.write_bytes(f2)
+    from nrenderer_tpu.io.image import read_png
+    a, b = read_png(str(p1)), read_png(str(p2))
+    assert b.mean() > a.mean()
