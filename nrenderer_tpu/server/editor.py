@@ -353,7 +353,9 @@ button { margin-top:6px; padding:6px; background:#264; color:#eee;
          border:1px solid #486; cursor:pointer; }
 #msg { color:#c96; min-height:2em; white-space:pre-wrap; }
 </style></head><body>
-<div id="left"><h3 id="st">waiting...</h3><img id="frame"/></div>
+<div id="left"><h3 id="st">waiting...</h3><img id="frame"/>
+<pre id="log" style="font-size:11px;color:#897;max-height:14vh;
+     overflow:auto;width:95%"></pre></div>
 <div id="right">
   <div>scene document (edit + apply to re-render)</div>
   <textarea id="doc" spellcheck="false"></textarea>
@@ -379,6 +381,9 @@ async function tick() {
       last = s.frame;
       document.getElementById('frame').src = '/frame.png?f=' + s.frame;
     }
+    const lg = await (await fetch('/log')).json();
+    document.getElementById('log').textContent =
+      lg.map(m => `[${m.type}] ${m.content}`).join('\\n');
   } catch (e) {}
   setTimeout(tick, 500);
 }

@@ -36,6 +36,8 @@ img { image-rendering: pixelated; border: 1px solid #444;
 </style></head><body>
 <h3 id="st">waiting for first frame...</h3>
 <img id="frame" alt="(no frame posted yet)"/>
+<pre id="log" style="font-size:11px;color:#897;max-height:12vh;
+     overflow:auto;width:90vw"></pre>
 <script>
 let last = -1;
 async function tick() {
@@ -48,6 +50,9 @@ async function tick() {
       last = s.frame;
       document.getElementById('frame').src = '/frame.png?f=' + s.frame;
     }
+    const lg = await (await fetch('/log')).json();
+    document.getElementById('log').textContent =
+      lg.map(m => `[${m.type}] ${m.content}`).join('\\n');
   } catch (e) {}
   setTimeout(tick, 500);
 }
@@ -156,6 +161,16 @@ class ScreenViewer:
                         "height": viewer._screen.height,
                         "state": viewer._state_fn(),
                     }).encode()
+                    self._send(200, "application/json", body)
+                elif path == "/log":
+                    # LogView analogue (reference LogView.cpp renders the
+                    # Logger tail every UI frame); same 50-entry cap
+                    from .registry import get_server
+                    body = json.dumps([
+                        {"type": m.type.name, "content": m.content,
+                         "timestamp": m.timestamp}
+                        for m in get_server().logger.get()
+                    ]).encode()
                     self._send(200, "application/json", body)
                 elif path == "/frame.png":
                     frame, png = viewer._poll()

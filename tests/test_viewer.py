@@ -67,3 +67,27 @@ def test_encode_png_roundtrip(tmp_path):
     back = read_png(str(p))
     assert back.shape == (5, 7, 3)
     np.testing.assert_allclose(back, rgb, atol=1.0 / 255.0)
+
+
+def test_viewer_log_endpoint():
+    """LogView analogue: /log serves the Server logger tail (same 50-entry
+    cap as the reference's LogView/Logger contract)."""
+    from nrenderer_tpu.server.registry import get_server
+    logger = get_server().logger
+    logger.clear()
+    logger.warning("wavefront stalled")
+    logger.success("pass 1 done")
+    screen = Screen()
+    viewer = ScreenViewer(screen, port=0).start()
+    try:
+        _, body = _get(viewer.url + "log")
+        entries = json.loads(body)
+        assert [e["type"] for e in entries[-2:]] == ["WARNING", "SUCCESS"]
+        assert entries[-1]["content"] == "pass 1 done"
+        assert all("timestamp" in e for e in entries)
+        # the live pages poll it
+        _, page = _get(viewer.url)
+        assert b"/log" in page or b"'log'" in page
+    finally:
+        viewer.stop()
+        logger.clear()
