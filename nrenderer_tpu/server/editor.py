@@ -24,10 +24,13 @@ and `SceneEditor` packages that as HTTP routes for `ScreenViewer`:
 Scope mirrors what the reference panel edits in place: camera, render
 option, ambient, material type + properties (add/remove/change), model
 transforms, entity geometry parameters and material bindings, and all
-four light types.  Adding/removing whole entities is out of scope (the
-reference's "add node" flow rebuilds GL buffers; here geometry counts are
-baked into compiled kernels, so structural edits go through the Python
-`Scene` API / importers instead — documented divergence).
+four light types.  APPENDING entities and lights is supported too (the
+panel's "add node"/"add light" buttons, AssetView.cpp:158-233): extra
+list entries create the entity + its Node wiring exactly like the
+importer does (`io/scn.py::new_node`); geometry counts are trace-time
+constants, so the next render simply recompiles.  Removing entries is
+not supported over HTTP (node-index compaction; use the Python `Scene`
+API — documented divergence).
 
 Note on cost: scene values are trace-time constants in the renderers
 (`ops/intersect.py`), so every applied edit re-traces/re-compiles the
@@ -40,8 +43,11 @@ import json
 import threading
 from typing import Any, Dict, List, Tuple
 
-from ..scene.model import (Ambient, AmbientType, Camera, Material, Property,
-                           PropertyType, RenderOption, Scene)
+from ..scene.model import (Ambient, AmbientType, AreaLight, Camera,
+                           DirectionalLight, Light, LightType, Material,
+                           Node, NodeType, Plane, PointLight, Property,
+                           PropertyType, RenderOption, Scene, Sphere,
+                           SpotLight, Triangle)
 
 # ---------------------------------------------------------------------------
 # Scene -> editable JSON document
@@ -246,15 +252,80 @@ def _apply_fields(obj, odoc: Dict[str, Any], fields, path: str,
             changed.append(f"{path}.{f}")
 
 
-def _apply_list(items, docs, fields, path: str, changed: List[str]) -> None:
+def _apply_list(items, docs, fields, path: str, changed: List[str],
+                factory=None) -> None:
+    """Apply docs entry-by-entry; extra entries are CREATED via `factory`
+    (the AssetView 'add node'/'add light' flow) when one is provided."""
     if not isinstance(docs, list):
         raise EditError(f"{path}: expected a list")
-    if len(docs) != len(items):
+    if len(docs) < len(items):
+        raise EditError(f"{path}: removing entries is not supported; "
+                        "use the Python Scene API")
+    if len(docs) > len(items) and factory is None:
         raise EditError(f"{path}: length {len(docs)} != {len(items)} "
-                        "(adding/removing entities is not supported here; "
-                        "use the Python Scene API)")
-    for i, (obj, odoc) in enumerate(zip(items, docs)):
+                        "(adding entries is not supported here)")
+    n_existing = len(items)
+    for i, odoc in enumerate(docs):
+        if i < n_existing:
+            obj = items[i]
+        else:
+            if not isinstance(odoc, dict):
+                raise EditError(f"{path}[{i}]: expected an object")
+            obj = factory(odoc, i)
+            changed.append(f"{path}[{i}] (added)")
         _apply_fields(obj, odoc, fields, f"{path}[{i}]", changed)
+
+
+_ENTITY_KINDS = {
+    # doc key -> (entity class, node type, scene buffer attr)
+    "spheres": (Sphere, NodeType.SPHERE, "sphere_buffer"),
+    "triangles": (Triangle, NodeType.TRIANGLE, "triangle_buffer"),
+    "planes": (Plane, NodeType.PLANE, "plane_buffer"),
+}
+_LIGHT_CLASSES = {"point": (PointLight, LightType.POINT),
+                  "area": (AreaLight, LightType.AREA),
+                  "directional": (DirectionalLight, LightType.DIRECTIONAL),
+                  "spot": (SpotLight, LightType.SPOT)}
+
+
+def _entity_factory(scene: Scene, key: str):
+    """Create-and-wire a new geometry entity the way the importer does
+    (`io/scn.py::new_node`): buffer slot + Node + optional Model link."""
+    cls, ntype, buf_attr = _ENTITY_KINDS[key]
+
+    def make(odoc: Dict[str, Any], i: int):
+        if "material" not in odoc:
+            raise EditError(f"{key}[{i}]: a new entity needs a "
+                            "'material' index")
+        model = int(odoc.get("model", -1))
+        if model >= len(scene.models):
+            raise EditError(f"{key}[{i}]: model {model} out of range")
+        buf = getattr(scene, buf_attr)
+        node = Node(name=str(odoc.get("name", f"edit_{key}_{i}")),
+                    type=ntype, entity=len(buf), model=model)
+        if model >= 0:
+            scene.models[model].nodes.append(len(scene.nodes))
+        scene.nodes.append(node)
+        ent = cls()
+        buf.append(ent)
+        return ent
+
+    return make
+
+
+def _light_factory(scene: Scene, kind: str):
+    cls, ltype = _LIGHT_CLASSES[kind]
+
+    def make(odoc: Dict[str, Any], i: int):
+        buf = getattr(scene, _LIGHT_BUFFERS[kind])
+        scene.lights.append(Light(name=str(odoc.get("name",
+                                                    f"edit_{kind}_{i}")),
+                                  type=ltype, entity=len(buf)))
+        lt = cls()
+        buf.append(lt)
+        return lt
+
+    return make
 
 
 def apply_doc(scene: Scene, doc: Dict[str, Any]) -> List[str]:
@@ -304,13 +375,14 @@ def apply_doc(scene: Scene, doc: Dict[str, Any]) -> List[str]:
                     "models", changed)
     if "spheres" in doc:
         _apply_list(scene.sphere_buffer, doc["spheres"], _SPHERE_FIELDS,
-                    "spheres", changed)
+                    "spheres", changed, _entity_factory(scene, "spheres"))
     if "triangles" in doc:
         _apply_list(scene.triangle_buffer, doc["triangles"],
-                    _TRIANGLE_FIELDS, "triangles", changed)
+                    _TRIANGLE_FIELDS, "triangles", changed,
+                    _entity_factory(scene, "triangles"))
     if "planes" in doc:
         _apply_list(scene.plane_buffer, doc["planes"], _PLANE_FIELDS,
-                    "planes", changed)
+                    "planes", changed, _entity_factory(scene, "planes"))
     if "meshes" in doc:
         _apply_list(scene.mesh_buffer, doc["meshes"], ("material",),
                     "meshes", changed)
@@ -321,7 +393,8 @@ def apply_doc(scene: Scene, doc: Dict[str, Any]) -> List[str]:
         for kind, buf in _LIGHT_BUFFERS.items():
             if kind in ldoc:
                 _apply_list(getattr(scene, buf), ldoc[kind],
-                            _LIGHT_FIELDS[kind], f"lights.{kind}", changed)
+                            _LIGHT_FIELDS[kind], f"lights.{kind}", changed,
+                            _light_factory(scene, kind))
     # validate material bindings stay in range
     n_mat = len(scene.materials)
     for group in (scene.sphere_buffer, scene.triangle_buffer,

@@ -269,3 +269,54 @@ def test_edit_loop_rerenders(tmp_path, monkeypatch):
     from nrenderer_tpu.io.image import read_png
     a, b = read_png(str(p1)), read_png(str(p2))
     assert b.mean() > a.mean()
+
+
+# ---------------------------------------------------------------------------
+# structural adds (the panel's "add node" / "add light" buttons)
+# ---------------------------------------------------------------------------
+
+def test_add_sphere_wires_node(cornel):
+    n_nodes = len(cornel.nodes)
+    n_spheres = len(cornel.sphere_buffer)
+    doc = {"spheres": [{} for _ in range(n_spheres)] + [
+        {"position": [1.0, 2.0, 3.0], "radius": 0.5, "material": 0,
+         "model": 0, "name": "ball"}]}
+    changed = apply_doc(cornel, doc)
+    assert f"spheres[{n_spheres}] (added)" in changed
+    assert len(cornel.sphere_buffer) == n_spheres + 1
+    s = cornel.sphere_buffer[-1]
+    assert s.position == (1.0, 2.0, 3.0) and s.radius == 0.5
+    node = cornel.nodes[-1]
+    assert len(cornel.nodes) == n_nodes + 1
+    assert node.entity == n_spheres and node.model == 0
+    assert (n_nodes) in cornel.models[0].nodes
+    # the scene still flattens (arrays sees the new entity)
+    from nrenderer_tpu.scene.arrays import build_scene_arrays
+    arr = build_scene_arrays(cornel)
+    assert arr.sphere_center.shape[0] == n_spheres + 1
+
+
+def test_add_entity_requires_material(cornel):
+    n = len(cornel.sphere_buffer)
+    with pytest.raises(EditError):
+        apply_doc(cornel, {"spheres": [{}] * n + [{"radius": 1.0}]})
+
+
+def test_add_point_light(cornel):
+    n = len(cornel.point_light_buffer)
+    n_lights = len(cornel.lights)
+    doc = {"lights": {"point": [{} for _ in range(n)] + [
+        {"intensity": [2.0, 2.0, 2.0], "position": [0.0, 1.0, 0.0]}]}}
+    changed = apply_doc(cornel, doc)
+    assert f"lights.point[{n}] (added)" in changed
+    assert len(cornel.point_light_buffer) == n + 1
+    assert cornel.point_light_buffer[-1].intensity == (2.0, 2.0, 2.0)
+    assert len(cornel.lights) == n_lights + 1
+    assert cornel.lights[-1].entity == n
+
+
+def test_remove_entry_rejected(cornel):
+    if not cornel.triangle_buffer:
+        pytest.skip("no triangles")
+    with pytest.raises(EditError):
+        apply_doc(cornel, {"triangles": []})
