@@ -359,15 +359,22 @@ def _cmd_edit(args) -> int:
     try:
         while True:
             editor.mark_rendering(True)
-            version = editor.version
+            # trace a snapshot, not the live scene: POST /scene mutates it
+            # concurrently and a torn mid-render scene is a wrong frame
+            snapshot, version = editor.snapshot()
             t0 = time.perf_counter()
-            mgr.exec(args.renderer, scene)
-            result = mgr.wait()
+            result = None
+            try:
+                mgr.exec(args.renderer, snapshot)
+                result = mgr.wait()
+            except Exception as exc:
+                # keep the editor alive: a crashing render (bad size, TPU
+                # worker hiccup) must not lose the in-memory edits
+                result = None
+                print(f"render failed: {exc!r} (edit + apply to retry)",
+                      file=sys.stderr)
             editor.mark_rendering(False)
-            if result is None:
-                print(f"render failed: {mgr.error!r} (edit + apply "
-                      "to retry)", file=sys.stderr)
-            else:
+            if result is not None:
                 img = np.clip(np.asarray(result.pixels, np.float32),
                               0.0, 1.0)
                 get_server().screen.set(img, img.shape[1], img.shape[0])

@@ -249,7 +249,11 @@ def intersect_scene(s: SceneSoA, o: V3, d: V3,
     valid = jnp.isfinite(t)
     oh = one_hot_argmin(t_all) * valid[None, :].astype(t_all.dtype)
 
-    point = V3(o.x + t * d.x, o.y + t * d.y, o.z + t * d.z)
+    # miss rays carry t=inf; fold them to the origin so downstream
+    # masked shading never computes 0 * inf = NaN (visible as NaN pixels
+    # on any ray that leaves the scene, e.g. wide-fov RayCast)
+    t_pt = jnp.where(valid, t, 0.0)
+    point = V3(o.x + t_pt * d.x, o.y + t_pt * d.y, o.z + t_pt * d.z)
 
     n_static = select_prim3(oh, s.prim_normal)
     w_sph = select_prim(oh, s.prim_is_sphere)
@@ -519,7 +523,9 @@ def intersect_scene_unrolled(ss: StaticScene, o: V3, d: V3,
 
     t_best, nx, ny, nz, mid, pid_best, chans, uv_state = state
     valid = jnp.isfinite(t_best)
-    point = V3(o.x + t_best * d.x, o.y + t_best * d.y, o.z + t_best * d.z)
+    # fold miss t=inf to the origin (see intersect_scene: masked 0*inf=NaN)
+    t_pt = jnp.where(valid, t_best, 0.0)
+    point = V3(o.x + t_pt * d.x, o.y + t_pt * d.y, o.z + t_pt * d.z)
     return HitUnrolled(t=t_best, valid=valid, point=point,
                        normal=V3(nx, ny, nz), mat_id=mid, prim_id=pid_best,
                        channels=chans, uv=uv_state)

@@ -39,6 +39,7 @@ settings; `render_option` in the doc is live if the user wants more.
 """
 from __future__ import annotations
 
+import copy
 import json
 import threading
 from typing import Any, Dict, List, Tuple
@@ -136,22 +137,15 @@ class EditError(ValueError):
     """A submitted edit failed validation; nothing past it was applied."""
 
 
-def _flatten(doc: Any, prefix: str = "") -> Dict[str, Any]:
-    out: Dict[str, Any] = {}
-    if isinstance(doc, dict):
-        for k, v in doc.items():
-            out.update(_flatten(v, f"{prefix}.{k}" if prefix else str(k)))
-    elif isinstance(doc, list) and doc and isinstance(doc[0], (dict, list)):
-        for i, v in enumerate(doc):
-            out.update(_flatten(v, f"{prefix}[{i}]"))
-    else:
-        out[prefix] = doc
-    return out
+def _coerce_like(cur, new, path: str, optional: bool = False):
+    """Coerce JSON leaf `new` to the python type of the current value.
 
-
-def _coerce_like(cur, new, path: str):
-    """Coerce JSON leaf `new` to the python type of the current value."""
+    `optional` marks Optional[float] knobs (RenderOption roughness/f0/
+    metalness): null resets them to None even once a float is set.
+    """
     try:
+        if optional and new is None:
+            return None
         if isinstance(cur, tuple):
             if not isinstance(new, (list, tuple)) or len(new) != len(cur):
                 raise EditError(f"{path}: expected {len(cur)} numbers")
@@ -201,9 +195,14 @@ def _apply_material(mat: Material, mdoc: Dict[str, Any],
                     path: str, changed: List[str]) -> None:
     if not isinstance(mdoc, dict):
         raise EditError(f"{path}: expected an object")
-    if "type" in mdoc and int(mdoc["type"]) != mat.type:
-        mat.type = int(mdoc["type"])
-        changed.append(f"{path}.type")
+    if "type" in mdoc:
+        try:
+            new_type = int(mdoc["type"])
+        except (TypeError, ValueError):
+            raise EditError(f"{path}.type: bad value {mdoc['type']!r}")
+        if new_type != mat.type:
+            mat.type = new_type
+            changed.append(f"{path}.type")
     if "name" in mdoc and str(mdoc["name"]) != mat.name:
         mat.name = str(mdoc["name"])
         changed.append(f"{path}.name")
@@ -239,14 +238,14 @@ def _apply_material(mat: Material, mdoc: Dict[str, Any],
 
 
 def _apply_fields(obj, odoc: Dict[str, Any], fields, path: str,
-                  changed: List[str]) -> None:
+                  changed: List[str], optional=()) -> None:
     if not isinstance(odoc, dict):
         raise EditError(f"{path}: expected an object")
     for f in fields:
         if f not in odoc:
             continue
         cur = getattr(obj, f)
-        new = _coerce_like(cur, odoc[f], f"{path}.{f}")
+        new = _coerce_like(cur, odoc[f], f"{path}.{f}", optional=f in optional)
         if new != cur:
             setattr(obj, f, new)
             changed.append(f"{path}.{f}")
@@ -297,7 +296,10 @@ def _entity_factory(scene: Scene, key: str):
         if "material" not in odoc:
             raise EditError(f"{key}[{i}]: a new entity needs a "
                             "'material' index")
-        model = int(odoc.get("model", -1))
+        try:
+            model = int(odoc.get("model", -1))
+        except (TypeError, ValueError):
+            raise EditError(f"{key}[{i}]: bad model {odoc.get('model')!r}")
         if model >= len(scene.models):
             raise EditError(f"{key}[{i}]: model {model} out of range")
         buf = getattr(scene, buf_attr)
@@ -345,7 +347,8 @@ def apply_doc(scene: Scene, doc: Dict[str, Any]) -> List[str]:
                       "camera", changed)
     if "render_option" in doc:
         _apply_fields(scene.render_option, doc["render_option"],
-                      _OPTION_FIELDS, "render_option", changed)
+                      _OPTION_FIELDS, "render_option", changed,
+                      optional=("roughness", "f0", "metalness"))
     if "ambient" in doc:
         adoc = doc["ambient"]
         if not isinstance(adoc, dict):
@@ -480,10 +483,11 @@ class SceneEditor:
     """Owns the editable scene + the dirty flag the render loop waits on.
 
     Thread contract: `routes` handlers run on the HTTP server threads;
-    `wait_dirty` / `mark_rendering` run on the render loop thread.  The
-    scene itself is only MUTATED under `_lock`, and the render loop is
-    expected to call `snapshot_version()` before rendering so late edits
-    re-trigger.
+    `wait_dirty` / `mark_rendering` / `snapshot` run on the render loop
+    thread.  The scene is only MUTATED under `_lock`; the render loop
+    renders a `snapshot()` (a deep copy taken under the same lock), so a
+    POST /scene landing mid-render can never tear the frame being traced
+    — the edit simply re-triggers via the dirty flag.
     """
 
     def __init__(self, scene: Scene):
@@ -503,6 +507,14 @@ class SceneEditor:
 
     def mark_rendering(self, flag: bool) -> None:
         self._rendering = flag
+
+    def snapshot(self) -> Tuple[Scene, int]:
+        """Deep-copied scene + its version, taken atomically under the
+        edit lock.  The render loop traces the copy, so concurrent POSTs
+        can't produce a torn frame (an entity appended between node and
+        buffer writes, a half-updated camera, ...)."""
+        with self._lock:
+            return copy.deepcopy(self._scene), self._version
 
     @property
     def version(self) -> int:

@@ -293,7 +293,7 @@ def test_add_sphere_wires_node(cornel):
     # the scene still flattens (arrays sees the new entity)
     from nrenderer_tpu.scene.arrays import build_scene_arrays
     arr = build_scene_arrays(cornel)
-    assert arr.sphere_center.shape[0] == n_spheres + 1
+    assert arr.sph_pos.shape[0] == n_spheres + 1
 
 
 def test_add_entity_requires_material(cornel):
@@ -320,3 +320,39 @@ def test_remove_entry_rejected(cornel):
         pytest.skip("no triangles")
     with pytest.raises(EditError):
         apply_doc(cornel, {"triangles": []})
+
+
+def test_optional_knob_set_and_reset(cornel):
+    """roughness/f0/metalness are Optional[float]: settable AND resettable
+    to null (advisor: the override must not be sticky for the session)."""
+    apply_doc(cornel, {"render_option": {"roughness": 0.4}})
+    assert cornel.render_option.roughness == 0.4
+    apply_doc(cornel, {"render_option": {"roughness": None}})
+    assert cornel.render_option.roughness is None
+
+
+def test_bad_material_type_is_edit_error(cornel):
+    docs = [{} for _ in cornel.materials]
+    docs[0] = {"type": "not-an-int"}
+    with pytest.raises(EditError):
+        apply_doc(cornel, {"materials": docs})
+
+
+def test_bad_model_index_type_is_edit_error(cornel):
+    n = len(cornel.sphere_buffer)
+    doc = {"spheres": [{} for _ in range(n)] + [
+        {"radius": 1.0, "material": 0, "model": "zero"}]}
+    with pytest.raises(EditError):
+        apply_doc(cornel, doc)
+
+
+def test_snapshot_is_isolated(cornel):
+    """The render loop traces a snapshot; later edits must not leak in."""
+    from nrenderer_tpu.server.editor import SceneEditor
+    ed = SceneEditor(cornel)
+    snap, v0 = ed.snapshot()
+    assert snap is not cornel
+    old_fov = cornel.camera.fov
+    apply_doc(cornel, {"camera": {"fov": old_fov + 5.0}})
+    assert snap.camera.fov == old_fov
+    assert cornel.camera.fov == old_fov + 5.0

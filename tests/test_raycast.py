@@ -117,3 +117,20 @@ def test_spot_light_cone():
     corner = img[:3, :3].mean()
     assert center > 0.2
     assert corner < 0.05 * max(center, 1e-6)
+
+
+def test_wide_fov_no_nan(resource_dir):
+    """Rays that leave the scene (miss everything) must shade to black, not
+    NaN: miss hits carry t=inf and a masked 0*inf is NaN unless the hit
+    point is folded to the origin (regression: editing fov past the box's
+    frame filled 40% of the image with NaN)."""
+    scene = load_scn(str(resource_dir / "ray_cast_cornel.scn"))
+    scene.render_option.width = 32
+    scene.render_option.height = 32
+    scene.camera.fov = 120.0
+    mgr = ComponentManager()
+    mgr.exec("RayCast", scene)
+    img = mgr.wait(timeout=300).pixels
+    assert np.isfinite(img).all()
+    # at fov 120 many rays exit the open front: those pixels are black
+    assert (img[..., :3].sum(axis=2) < 1e-6).any()
