@@ -26,7 +26,8 @@ def _register_builtin_renderers() -> None:
     """Import renderer modules for their registration side effects (the
     analogue of the reference's DLL scan + static-initializer registration,
     `ComponentManager.cpp:15-30`)."""
-    from .renderers import example, raycast, simple_pt, acc_pt, mlt  # noqa: F401
+    from .renderers import (example, raycast, simple_pt, acc_pt, mlt,  # noqa: F401
+                            preview)  # noqa: F401
 
 
 def enable_compilation_cache(path: str = None) -> None:

@@ -363,6 +363,18 @@ def _cmd_edit(args) -> int:
             # concurrently and a torn mid-render scene is a wrong frame
             snapshot, version = editor.snapshot()
             t0 = time.perf_counter()
+            # instant geometry preview first (ScreenView PREVIEW analogue):
+            # the browser sees framing/placement while the real render runs
+            try:
+                from .renderers.preview import GeometryPreviewRenderer
+                pv = GeometryPreviewRenderer().render(snapshot)
+                get_server().screen.set(
+                    np.clip(np.asarray(pv.pixels, np.float32), 0.0, 1.0),
+                    pv.width, pv.height)
+                print(f"preview v{version} in "
+                      f"{time.perf_counter() - t0:.2f}s", file=sys.stderr)
+            except Exception as exc:
+                print(f"preview failed: {exc!r}", file=sys.stderr)
             result = None
             try:
                 mgr.exec(args.renderer, snapshot)

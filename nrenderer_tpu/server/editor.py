@@ -24,13 +24,17 @@ and `SceneEditor` packages that as HTTP routes for `ScreenViewer`:
 Scope mirrors what the reference panel edits in place: camera, render
 option, ambient, material type + properties (add/remove/change), model
 transforms, entity geometry parameters and material bindings, and all
-four light types.  APPENDING entities and lights is supported too (the
+four light types.  APPENDING entities and lights is supported (the
 panel's "add node"/"add light" buttons, AssetView.cpp:158-233): extra
 list entries create the entity + its Node wiring exactly like the
 importer does (`io/scn.py::new_node`); geometry counts are trace-time
-constants, so the next render simply recompiles.  Removing entries is
-not supported over HTTP (node-index compaction; use the Python `Scene`
-API — documented divergence).
+constants, so the next render simply recompiles.  REMOVAL is a `null`
+list entry (the panel's delete buttons): the entity/light/material is
+dropped with full node-index compaction.  New MATERIALS append either
+from a named template (`scene/templates.py`, the panel's template-driven
+creation AssetView.cpp:372-641) or as bare {name, type, properties};
+new TEXTURES append as {"name", "path"} and are decoded host-side
+(TextureImporter analogue).
 
 Note on cost: scene values are trace-time constants in the renderers
 (`ops/intersect.py`), so every applied edit re-traces/re-compiles the
@@ -48,7 +52,7 @@ from ..scene.model import (Ambient, AmbientType, AreaLight, Camera,
                            DirectionalLight, Light, LightType, Material,
                            Node, NodeType, Plane, PointLight, Property,
                            PropertyType, RenderOption, Scene, Sphere,
-                           SpotLight, Triangle)
+                           SpotLight, Texture, Triangle)
 
 # ---------------------------------------------------------------------------
 # Scene -> editable JSON document
@@ -123,8 +127,11 @@ def scene_doc(scene: Scene) -> Dict[str, Any]:
                    for lt in getattr(scene, buf)]
             for kind, buf in _LIGHT_BUFFERS.items()
         },
-        # read-only context for the panel
-        "textures": [t.name for t in scene.textures],
+        # existing textures are read-only metadata; NEW entries may be
+        # appended as {"name":..., "path": "/file.png"} (TextureImporter
+        # analogue, `app/src/importer/TextureImporter.cpp:7-21`)
+        "textures": [{"name": t.name, "width": t.width, "height": t.height}
+                     for t in scene.textures],
     }
     return doc
 
@@ -252,19 +259,31 @@ def _apply_fields(obj, odoc: Dict[str, Any], fields, path: str,
 
 
 def _apply_list(items, docs, fields, path: str, changed: List[str],
-                factory=None) -> None:
+                factory=None, remover=None) -> None:
     """Apply docs entry-by-entry; extra entries are CREATED via `factory`
-    (the AssetView 'add node'/'add light' flow) when one is provided."""
+    (the AssetView 'add node'/'add light' flow) when one is provided, and
+    `null` entries are REMOVED via `remover` (the panel's delete buttons,
+    AssetView.cpp:209-370) — removal happens after all edits so indices in
+    the submitted doc always refer to the pre-edit list."""
     if not isinstance(docs, list):
         raise EditError(f"{path}: expected a list")
     if len(docs) < len(items):
-        raise EditError(f"{path}: removing entries is not supported; "
-                        "use the Python Scene API")
+        raise EditError(f"{path}: a shorter list is ambiguous; mark "
+                        "removed entries with null instead")
     if len(docs) > len(items) and factory is None:
         raise EditError(f"{path}: length {len(docs)} != {len(items)} "
                         "(adding entries is not supported here)")
     n_existing = len(items)
+    to_remove: List[int] = []
     for i, odoc in enumerate(docs):
+        if odoc is None:
+            if remover is None:
+                raise EditError(f"{path}[{i}]: removing entries is not "
+                                "supported here")
+            if i >= n_existing:
+                continue  # added-then-nulled in one doc: a no-op
+            to_remove.append(i)
+            continue
         if i < n_existing:
             obj = items[i]
         else:
@@ -273,6 +292,9 @@ def _apply_list(items, docs, fields, path: str, changed: List[str],
             obj = factory(odoc, i)
             changed.append(f"{path}[{i}] (added)")
         _apply_fields(obj, odoc, fields, f"{path}[{i}]", changed)
+    for i in reversed(to_remove):  # descending: indices stay valid
+        remover(i)
+        changed.append(f"{path}[{i}] (removed)")
 
 
 _ENTITY_KINDS = {
@@ -280,6 +302,8 @@ _ENTITY_KINDS = {
     "spheres": (Sphere, NodeType.SPHERE, "sphere_buffer"),
     "triangles": (Triangle, NodeType.TRIANGLE, "triangle_buffer"),
     "planes": (Plane, NodeType.PLANE, "plane_buffer"),
+    # meshes: removable + material-editable; bulk geometry is import-only
+    "meshes": (None, NodeType.MESH, "mesh_buffer"),
 }
 _LIGHT_CLASSES = {"point": (PointLight, LightType.POINT),
                   "area": (AreaLight, LightType.AREA),
@@ -330,6 +354,99 @@ def _light_factory(scene: Scene, kind: str):
     return make
 
 
+def _entity_remover(scene: Scene, key: str):
+    """Remove entity i of `key` with full index compaction (the panel's
+    delete button, AssetView.cpp:209-370): drops the buffer slot, its Node,
+    fixes later same-type Node.entity indices, and renumbers every
+    Model.nodes entry past the dropped node."""
+    _, ntype, buf_attr = _ENTITY_KINDS[key]
+
+    def remove(i: int) -> None:
+        buf = getattr(scene, buf_attr)
+        del buf[i]
+        j = next((k for k, nd in enumerate(scene.nodes)
+                  if nd.type is ntype and nd.entity == i), None)
+        if j is not None:
+            del scene.nodes[j]
+            for mdl in scene.models:
+                mdl.nodes = [k - 1 if k > j else k
+                             for k in mdl.nodes if k != j]
+        for nd in scene.nodes:
+            if nd.type is ntype and nd.entity > i:
+                nd.entity -= 1
+
+    return remove
+
+
+def _light_remover(scene: Scene, kind: str):
+    _, ltype = _LIGHT_CLASSES[kind]
+
+    def remove(i: int) -> None:
+        buf = getattr(scene, _LIGHT_BUFFERS[kind])
+        del buf[i]
+        j = next((k for k, lt in enumerate(scene.lights)
+                  if lt.type is ltype and lt.entity == i), None)
+        if j is not None:
+            del scene.lights[j]
+        for lt in scene.lights:
+            if lt.type is ltype and lt.entity > i:
+                lt.entity -= 1
+
+    return remove
+
+
+_ENTITY_BUFFERS = ("sphere_buffer", "triangle_buffer", "plane_buffer",
+                   "mesh_buffer")
+
+
+def _remove_material(scene: Scene, i: int) -> None:
+    """Remove material i; rejects while any entity still binds it, then
+    renumbers later material indices on every entity."""
+    for buf_attr in _ENTITY_BUFFERS:
+        for k, obj in enumerate(getattr(scene, buf_attr)):
+            if obj.material == i:
+                raise EditError(
+                    f"materials[{i}]: still bound by "
+                    f"{buf_attr.replace('_buffer', 's')}[{k}]")
+    del scene.materials[i]
+    for buf_attr in _ENTITY_BUFFERS:
+        for obj in getattr(scene, buf_attr):
+            if obj.material > i:
+                obj.material -= 1
+
+
+def _material_factory(mdoc: Dict[str, Any], path: str) -> Material:
+    """New material: either from a named template (the reference panel's
+    template-driven creation, AssetView.cpp:372-641 + MaterialTemplates)
+    or a bare {name, type}; properties in the doc are applied on top."""
+    from ..scene.templates import TEMPLATES, make_material
+    if "template" in mdoc:
+        tname = str(mdoc["template"])
+        if tname not in TEMPLATES:
+            names = ", ".join(TEMPLATES)
+            raise EditError(f"{path}.template: one of {names}")
+        return make_material(tname, str(mdoc.get("name", "")))
+    try:
+        type_id = int(mdoc.get("type", 0))
+    except (TypeError, ValueError):
+        raise EditError(f"{path}.type: bad value {mdoc.get('type')!r}")
+    return Material(name=str(mdoc.get("name", "")), type=type_id)
+
+
+def _import_texture(scene: Scene, tdoc: Dict[str, Any], path: str) -> None:
+    """TextureImporter analogue (`TextureImporter.cpp:7-21`): appended
+    texture entries carry a file `path` that is decoded host-side."""
+    if not isinstance(tdoc, dict) or "path" not in tdoc:
+        raise EditError(f"{path}: a new texture needs a file 'path'")
+    from ..io.image import load_image
+    fpath = str(tdoc["path"])
+    pixels = load_image(fpath)
+    if pixels is None:
+        raise EditError(f"{path}: cannot load image {fpath!r}")
+    scene.textures.append(Texture(name=str(tdoc.get("name", fpath)),
+                                  pixels=pixels))
+
+
 def apply_doc(scene: Scene, doc: Dict[str, Any]) -> List[str]:
     """Apply an edited document to `scene`; returns the changed paths.
 
@@ -368,27 +485,50 @@ def apply_doc(scene: Scene, doc: Dict[str, Any]) -> List[str]:
         _apply_fields(scene.ambient, adoc, ("constant",), "ambient", changed)
     if "materials" in doc:
         mdocs = doc["materials"]
-        if not isinstance(mdocs, list) or len(mdocs) != len(scene.materials):
-            raise EditError(f"materials: expected a list of "
-                            f"{len(scene.materials)}")
-        for i, (mat, mdoc) in enumerate(zip(scene.materials, mdocs)):
-            _apply_material(mat, mdoc, f"materials[{i}]", changed)
+        if not isinstance(mdocs, list):
+            raise EditError("materials: expected a list")
+        if len(mdocs) < len(scene.materials):
+            raise EditError("materials: a shorter list is ambiguous; mark "
+                            "removed entries with null instead")
+        n_existing = len(scene.materials)
+        mats_to_remove: List[int] = []
+        for i, mdoc in enumerate(mdocs):
+            mpath = f"materials[{i}]"
+            if mdoc is None:
+                if i < n_existing:
+                    mats_to_remove.append(i)
+                continue
+            if i < n_existing:
+                _apply_material(scene.materials[i], mdoc, mpath, changed)
+            else:
+                mat = _material_factory(mdoc, mpath)
+                scene.materials.append(mat)
+                changed.append(f"{mpath} (added)")
+                _apply_material(mat, {k: v for k, v in mdoc.items()
+                                      if k != "template"}, mpath, changed)
+        for i in reversed(mats_to_remove):
+            _remove_material(scene, i)
+            changed.append(f"materials[{i}] (removed)")
     if "models" in doc:
         _apply_list(scene.models, doc["models"], _MODEL_FIELDS,
                     "models", changed)
     if "spheres" in doc:
         _apply_list(scene.sphere_buffer, doc["spheres"], _SPHERE_FIELDS,
-                    "spheres", changed, _entity_factory(scene, "spheres"))
+                    "spheres", changed, _entity_factory(scene, "spheres"),
+                    _entity_remover(scene, "spheres"))
     if "triangles" in doc:
         _apply_list(scene.triangle_buffer, doc["triangles"],
                     _TRIANGLE_FIELDS, "triangles", changed,
-                    _entity_factory(scene, "triangles"))
+                    _entity_factory(scene, "triangles"),
+                    _entity_remover(scene, "triangles"))
     if "planes" in doc:
         _apply_list(scene.plane_buffer, doc["planes"], _PLANE_FIELDS,
-                    "planes", changed, _entity_factory(scene, "planes"))
+                    "planes", changed, _entity_factory(scene, "planes"),
+                    _entity_remover(scene, "planes"))
     if "meshes" in doc:
         _apply_list(scene.mesh_buffer, doc["meshes"], ("material",),
-                    "meshes", changed)
+                    "meshes", changed,
+                    remover=_entity_remover(scene, "meshes"))
     if "lights" in doc:
         ldoc = doc["lights"]
         if not isinstance(ldoc, dict):
@@ -397,7 +537,19 @@ def apply_doc(scene: Scene, doc: Dict[str, Any]) -> List[str]:
             if kind in ldoc:
                 _apply_list(getattr(scene, buf), ldoc[kind],
                             _LIGHT_FIELDS[kind], f"lights.{kind}", changed,
-                            _light_factory(scene, kind))
+                            _light_factory(scene, kind),
+                            _light_remover(scene, kind))
+    if "textures" in doc:
+        tdocs = doc["textures"]
+        if not isinstance(tdocs, list) or len(tdocs) < len(scene.textures):
+            raise EditError(f"textures: expected a list of at least "
+                            f"{len(scene.textures)} (existing entries are "
+                            "read-only)")
+        for i, tdoc in enumerate(tdocs):
+            if i < len(scene.textures):
+                continue  # existing textures: read-only metadata
+            _import_texture(scene, tdoc, f"textures[{i}]")
+            changed.append(f"textures[{i}] (imported)")
     # validate material bindings stay in range
     n_mat = len(scene.materials)
     for group in (scene.sphere_buffer, scene.triangle_buffer,

@@ -356,3 +356,163 @@ def test_snapshot_is_isolated(cornel):
     apply_doc(cornel, {"camera": {"fov": old_fov + 5.0}})
     assert snap.camera.fov == old_fov
     assert cornel.camera.fov == old_fov + 5.0
+
+
+# ---------------------------------------------------------------------------
+# AssetView parity: removal / templates / texture import / preview
+# (reference AssetView.cpp:158-641, ScreenView.cpp:11-52)
+# ---------------------------------------------------------------------------
+
+def test_remove_sphere_compacts_nodes(cornel):
+    from nrenderer_tpu.scene.model import NodeType
+    ns, nn = len(cornel.sphere_buffer), len(cornel.nodes)
+    nt = len(cornel.triangle_buffer)
+    changed = apply_doc(cornel, {"spheres": [None] + [{}] * (ns - 1)})
+    assert changed == ["spheres[0] (removed)"]
+    assert len(cornel.sphere_buffer) == ns - 1
+    assert len(cornel.nodes) == nn - 1
+    # no dangling or skipped entity indices per type
+    for ntype, buf in ((NodeType.SPHERE, cornel.sphere_buffer),
+                       (NodeType.TRIANGLE, cornel.triangle_buffer)):
+        ents = sorted(nd.entity for nd in cornel.nodes if nd.type is ntype)
+        assert ents == list(range(len(buf)))
+    # model node lists reference valid node slots
+    for mdl in cornel.models:
+        assert all(0 <= k < len(cornel.nodes) for k in mdl.nodes)
+    assert len(cornel.triangle_buffer) == nt
+    # scene still flattens
+    from nrenderer_tpu.scene.arrays import build_scene_arrays
+    build_scene_arrays(cornel)
+
+
+def test_remove_light(cornel):
+    na = len(cornel.area_light_buffer)
+    nl = len(cornel.lights)
+    if na == 0:
+        pytest.skip("no area lights")
+    changed = apply_doc(cornel, {"lights": {"area": [None] + [{}] * (na - 1)}})
+    assert changed == ["lights.area[0] (removed)"]
+    assert len(cornel.area_light_buffer) == na - 1
+    assert len(cornel.lights) == nl - 1
+
+
+def test_material_from_template_and_removal(cornel):
+    n = len(cornel.materials)
+    doc = {"materials": [{}] * n + [
+        {"template": "Dielectric", "name": "glassy",
+         "properties": {"ior": 1.33}}]}
+    changed = apply_doc(cornel, doc)
+    assert f"materials[{n}] (added)" in changed
+    m = cornel.materials[-1]
+    assert m.type == 2 and m.name == "glassy"
+    assert m.get_property("ior") == 1.33
+    assert m.get_property("absorbed") == (1.0, 1.0, 1.0)  # template default
+    # unknown template -> EditError
+    with pytest.raises(EditError):
+        apply_doc(cornel, {"materials": [{}] * (n + 1)
+                           + [{"template": "Nope"}]})
+    # removal of the unbound material
+    changed = apply_doc(cornel, {"materials": [{}] * n + [None]})
+    assert changed == [f"materials[{n}] (removed)"]
+    assert len(cornel.materials) == n
+
+
+def test_remove_bound_material_rejected(cornel):
+    n = len(cornel.materials)
+    with pytest.raises(EditError):
+        apply_doc(cornel, {"materials": [None] + [{}] * (n - 1)})
+    assert len(cornel.materials) == n
+
+
+def test_material_removal_renumbers_bindings(cornel):
+    """Removing material i decrements every binding > i."""
+    n = len(cornel.materials)
+    # add an unbound material at index n, then bind a new sphere to n+1
+    apply_doc(cornel, {"materials": [{}] * n + [
+        {"template": "Lambertian", "name": "tmp"},
+        {"template": "Conductor", "name": "shiny"}]})
+    ns = len(cornel.sphere_buffer)
+    apply_doc(cornel, {"spheres": [{}] * ns + [
+        {"radius": 1.0, "material": n + 1}]})
+    # remove the unbound one at n; the sphere's binding must follow
+    apply_doc(cornel, {"materials": [{}] * n + [None, {}]})
+    assert cornel.sphere_buffer[-1].material == n
+    assert cornel.materials[n].name == "shiny"
+
+
+def test_texture_import(cornel, tmp_path):
+    import numpy as np
+    from nrenderer_tpu.io.image import write_png
+    png = tmp_path / "tex.png"
+    write_png(str(png), np.full((4, 4, 3), 0.5, np.float32))
+    nt = len(cornel.textures)
+    doc = scene_doc(cornel)
+    doc["textures"].append({"name": "mytex", "path": str(png)})
+    changed = apply_doc(cornel, doc)
+    assert changed == [f"textures[{nt}] (imported)"]
+    t = cornel.textures[-1]
+    assert t.name == "mytex" and t.pixels.shape == (4, 4, 4)
+    # bad path -> EditError
+    with pytest.raises(EditError):
+        apply_doc(cornel, {"textures": [{}] * (nt + 1)
+                           + [{"name": "x", "path": "/nope.png"}]})
+
+
+def test_geometry_preview(cornel):
+    import numpy as np
+    import nrenderer_tpu
+    nrenderer_tpu._register_builtin_renderers()
+    from nrenderer_tpu.renderers.preview import GeometryPreviewRenderer
+    cornel.render_option.width = 600
+    cornel.render_option.height = 300
+    r = GeometryPreviewRenderer().render(cornel)
+    # capped + aspect preserved
+    assert (r.width, r.height) == (256, 128)
+    img = np.asarray(r.pixels)
+    assert np.isfinite(img).all()
+    # the light patch shows as near-white pixels, geometry as mid tones
+    assert (img[..., :3].min(axis=2) > 0.95).any()
+    lit = img[..., :3].sum(axis=2)
+    assert ((lit > 0.5) & (lit < 2.8)).mean() > 0.3
+
+
+def test_preview_decimation_keeps_small_meshes():
+    from nrenderer_tpu.renderers.preview import preview_scene
+    from nrenderer_tpu.io.scn import load_scn
+    from nrenderer_tpu.io.obj import load_obj
+    s = load_scn(f"{RES}/path_tracing_cornel.scn")
+    assert preview_scene(s) is s  # no meshes -> shared
+    load_obj(f"{RES}/obj/bunny_5k_faces.obj", s, material=0)
+    ps = preview_scene(s)
+    assert ps is not s
+    faces = len(ps.mesh_buffer[-1].position_indices) // 3
+    assert 0 < faces <= 1024
+    # original untouched
+    assert len(s.mesh_buffer[-1].position_indices) // 3 > 4000
+
+
+def test_add_then_remove_roundtrip(cornel):
+    """The VERDICT round-trip: add -> edit -> remove -> template -> preview."""
+    import nrenderer_tpu
+    nrenderer_tpu._register_builtin_renderers()
+    from nrenderer_tpu.renderers.preview import GeometryPreviewRenderer
+    ns, nn = len(cornel.sphere_buffer), len(cornel.nodes)
+    nm = len(cornel.materials)
+    # add a templated material + a sphere bound to it
+    apply_doc(cornel, {"materials": [{}] * nm + [
+        {"template": "Conductor", "name": "chrome"}]})
+    apply_doc(cornel, {"spheres": [{}] * ns + [
+        {"position": [0.0, 0.0, 5.0], "radius": 0.5, "material": nm}]})
+    # edit it
+    apply_doc(cornel, {"spheres": [{}] * ns + [{"radius": 0.75}]})
+    assert cornel.sphere_buffer[-1].radius == 0.75
+    # preview renders the edited scene
+    cornel.render_option.width = cornel.render_option.height = 64
+    r = GeometryPreviewRenderer().render(cornel)
+    assert r.width == 64
+    # remove the sphere, then the material
+    apply_doc(cornel, {"spheres": [{}] * ns + [None]})
+    apply_doc(cornel, {"materials": [{}] * nm + [None]})
+    assert len(cornel.sphere_buffer) == ns
+    assert len(cornel.nodes) == nn
+    assert len(cornel.materials) == nm
