@@ -465,11 +465,12 @@ def intersect_triangles_mesh(ma: MeshAccel, o: V3, d: V3, t_min: float,
                  and os.environ.get("NR_MESH_SORT", "0") != "0")
 
     # NR_MESH_CELL_Q: per-axis quantization of the box-entry cell (key =
-    # cell * 8 + direction octant).  Default 8 -> 4096 distinct keys; 2
-    # -> 64 keys (A/B knob for how coarse a key still collapses the
-    # sweep's block unions — the cheap radix-bucket reorder only pays if
-    # few buckets suffice).
-    cell_q = int(os.environ.get("NR_MESH_CELL_Q", "8"))
+    # cell * 8 + direction octant).  Default 2 (r5-measured sweet spot on
+    # the bunny-5k chain: 8 -> 909 ms of sweeps, 2 -> 761 ms, 1 -> 1040):
+    # the sort is STABLE, so coarser keys keep more of the pack's pixel
+    # order inside each bucket — finer cells scatter screen-coherent
+    # neighbors into different buckets and the tile unions grow back.
+    cell_q = int(os.environ.get("NR_MESH_CELL_Q", "2"))
 
     def entry_cell(oc, dc):
         def axis(mn, mx, oo, dd):
@@ -529,21 +530,50 @@ def intersect_triangles_mesh(ma: MeshAccel, o: V3, d: V3, t_min: float,
             # Garbage slots (pack claims + the unflushed tail, whose
             # t_cap bits are uninitialized) are keyed to sort LAST and
             # killed by a zeroed cap.
+            #
+            # WINDOWED (round 5): the two sorts were 43% of a real chain
+            # (970 of 2238 ms at 16M rays) because they always process
+            # the full cap while the live count collapses with depth
+            # (AABB hits on the bunny chain: 2.85M at bounce 0, <1M from
+            # bounce 4, <0.25M from bounce 12 — tools/perf/aabb_counts.py).
+            # Both sorts therefore run on the smallest power-of-2 slice
+            # that holds n_valid (lax.switch; the tail is dead slots with
+            # zeroed caps, already in place), cutting sort work ~4x on a
+            # real chain at identical results.
             cap_pad = sp.packed[0].shape[0]
             pslot = jnp.arange(cap_pad, dtype=jnp.int32)
             tc = jnp.where(pslot < sp.n_valid, sp.packed[6], 0.0)
             key = jnp.where(tc > 0.0, entry_cell(oc, dc),
                             jnp.int32(1 << 30))
-            (_, ox, oy, oz, dx, dy, dz, tcs, p_carried) = jax.lax.sort(
-                (key, oc.x, oc.y, oc.z, dc.x, dc.y, dc.z, tc, pslot),
-                num_keys=1)
+            levels = [cap_pad]
+            max_levels = int(os.environ.get("NR_MESH_SORT_LEVELS", "5"))
+            while (len(levels) < max_levels
+                   and levels[-1] // 2 >= 64 * 1024):
+                levels.append(levels[-1] // 2)
+            lvl = jnp.int32(0)
+            for j, wj in enumerate(levels[1:], 1):
+                lvl = jnp.where(sp.n_valid <= wj, jnp.int32(j), lvl)
+
+            def _windowed_sort(w):
+                def br(args):
+                    out = jax.lax.sort(tuple(a[:w] for a in args),
+                                       num_keys=1)
+                    return tuple(jnp.concatenate([s, a[w:]])
+                                 for s, a in zip(out, args))
+                return br
+
+            (_, ox, oy, oz, dx, dy, dz, tcs, p_carried) = jax.lax.switch(
+                lvl, [_windowed_sort(w) for w in levels],
+                (key, oc.x, oc.y, oc.z, dc.x, dc.y, dc.z, tc, pslot))
             oc, dc = V3(ox, oy, oz), V3(dx, dy, dz)
             t, idx, nxs, nys, nzs, mat = sweep_mesh_full(
                 ma.bt, oc, dc, t_min, t_cap=tcs, interpret=interpret)
-            # unsort: p_carried is a permutation — a unique-key sort
-            # restores pack-slot order for the streaming unpack
-            (_, t, idx, nxs, nys, nzs, mat) = jax.lax.sort(
-                (p_carried, t, idx, nxs, nys, nzs, mat), num_keys=1)
+            # unsort: p_carried is a permutation — a unique-key sort over
+            # the SAME window restores pack-slot order for the streaming
+            # unpack (slots past the window were never moved)
+            (_, t, idx, nxs, nys, nzs, mat) = jax.lax.switch(
+                lvl, [_windowed_sort(w) for w in levels],
+                (p_carried, t, idx, nxs, nys, nzs, mat))
         else:
             t, idx, nxs, nys, nzs, mat = sweep_mesh_full(
                 ma.bt, oc, dc, t_min, t_cap=sp.packed[6],
