@@ -45,6 +45,9 @@ from .simple_pt import pick_chunk
 
 BVH_THRESHOLD = 64
 MEGAMESH_MAX_TRIS = 1024  # in-kernel sweep wins below; compacted hybrid above
+ACC_TYPE0_MAX_TRIS = 2048  # acc_type=0 (brute force) refused past this:
+# the unrolled intersect bakes every triangle into one program and a
+# multi-thousand unroll does not compile in reasonable time
 
 
 def trace_bsdf_wavefront(ss: StaticScene, o: V3, d: V3, key, depth: int,
@@ -238,6 +241,26 @@ class AccPathTracerRenderer(RenderComponent):
         # stay on the (faster) unrolled brute force
         n_tri = int(np.asarray(arrays.tri_valid).sum())
         engine = os.environ.get("NR_ENGINE", "auto")
+        # acc_type (reference `Scene.hpp:23`, default 1 — stored but never
+        # read by any shipped reference renderer): 0 forces brute force,
+        # 1 (default) = heuristic (accelerate when the triangle pool is
+        # big enough to win), 2 forces the accelerated path for any
+        # non-empty pool.  A 0 on a huge pool would unroll thousands of
+        # triangles into one program (uncompilable), so it is refused
+        # past ACC_TYPE0_MAX_TRIS with a log line.
+        acc_type = int(getattr(scene.render_option, "acc_type", 1))
+        if acc_type == 0 and n_tri > ACC_TYPE0_MAX_TRIS:
+            get_server().logger.warning(
+                f"AccPathTracer: acc_type=0 (brute force) refused for "
+                f"{n_tri} triangles (> {ACC_TYPE0_MAX_TRIS}); using the "
+                "accelerated sweep")
+            acc_type = 1
+        if acc_type == 0:
+            accelerate = False
+        elif acc_type == 1:
+            accelerate = n_tri > BVH_THRESHOLD
+        else:
+            accelerate = n_tri > 0
         # textures stay on the fast engines (VERDICT r2 #4): UVs are
         # interpolated during the in-kernel sweep / unrolled intersect and
         # resolved against binned (32, 128) texture tables — a prefiltered
@@ -249,7 +272,7 @@ class AccPathTracerRenderer(RenderComponent):
         n_prims = (len(ss.sph) + len(ss.pln) + n_tri)
         use_pallas = (engine != "xla"
                       and jax.default_backend() not in ("cpu",)
-                      and n_tri <= BVH_THRESHOLD
+                      and not accelerate
                       and n_prims > 0  # empty scene: megakernel refuses
                       and (not textures or tex_kernel_ok))
         # small mesh pools (no env): ONE megakernel with the blocked
@@ -264,7 +287,7 @@ class AccPathTracerRenderer(RenderComponent):
         # scale (2 blocks) the megakernel wins outright (0.18 s warm at
         # 64^2).  NR_ENGINE=megamesh forces the in-kernel path.
         use_pallas_mesh = (jax.default_backend() not in ("cpu",)
-                          and n_tri > BVH_THRESHOLD
+                          and accelerate
                           and (not textures or tex_kernel_ok)
                           and not use_env
                           and (engine == "megamesh"
@@ -355,7 +378,7 @@ class AccPathTracerRenderer(RenderComponent):
             rgba = np.concatenate(
                 [img, np.ones((h, w, 1), np.float32)], axis=2)
             return RenderResult(pixels=rgba, width=w, height=h)
-        use_bvh = n_tri > BVH_THRESHOLD
+        use_bvh = accelerate
         if use_bvh and jax.default_backend() not in ("cpu",):
             # each sweep pallas_call costs ~28 ms FIXED on the axon backend
             # (independent of grid size and kernel size; measured r3), and
