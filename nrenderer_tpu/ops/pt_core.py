@@ -108,12 +108,20 @@ def onb_local(normal: V3, vec: V3) -> V3:
 
 
 def closest_hit(ss: StaticScene, o: V3, d: V3, t_min: float, mat_channels,
-                tri_bvh=None, alive=None, with_uv: bool = False):
+                tri_bvh=None, alive=None, with_uv: bool = False,
+                unique_pids: bool = False):
     """Closest hit: unrolled constant-folded brute force, with the triangle
     pool optionally routed through a flattened BVH walk (`tri_bvh` =
     (FlatBVH, TrianglePack), used by the renderers when the mesh-expanded
     triangle count makes brute force lose — the acc_path_tracing plugin's
-    whole reason to exist, `AccPathTracer.cpp:58-62`)."""
+    whole reason to exist, `AccPathTracer.cpp:58-62`).
+
+    `unique_pids`: the tri_bvh engines report the TRIANGLE-ARRAY index as
+    prim_id while the dense pass enumerates its own prims from 0, so the
+    two id spaces collide.  Callers that compare prim ids across hits
+    (MLT's visibility check, `renderers/mlt.py` — reference
+    `Metropolis.cpp:135-166` assigns one running id per primitive) set
+    this to offset mesh ids past the dense count."""
     if tri_bvh is None:
         return intersect_scene_unrolled(ss, o, d, t_min=t_min,
                                         mat_channels=mat_channels,
@@ -168,6 +176,10 @@ def closest_hit(ss: StaticScene, o: V3, d: V3, t_min: float, mat_channels,
         bvh, tp = tri_bvh
         tb, nxb, nyb, nzb, matb, pidb, chb = intersect_triangles_bvh(
             bvh, tp, o, d, t_min=t_min)
+    if unique_pids:
+        # dense enumeration above ran WITHOUT triangles (spheres, planes)
+        n_dense = len(ss.sph) + len(ss.pln)
+        pidb = jnp.where(pidb >= 0, pidb + float(n_dense), pidb)
     closer = tb < hit.t
     t = jnp.where(closer, tb, hit.t)
     normal = V3(jnp.where(closer, nxb, hit.normal.x),

@@ -178,3 +178,53 @@ def test_mlt_checkpoint_resume_exact(resource_dir, tmp_path, monkeypatch):
     fresh = mlt_mod.render_mlt(scene(), chains=16, mutations=8, n_init=64,
                                seed=4)
     np.testing.assert_allclose(other, fresh, rtol=1e-5, atol=1e-6)
+
+
+def test_progressive_preview_posts_to_screen(resource_dir, monkeypatch):
+    """`--serve` composition (VERDICT r4 #4): the block loop posts a
+    tone-mapped partial film to the Screen after each mutation block, so
+    a served MLT render shows progress instead of nothing-until-the-end
+    (reference blit loop: ScreenView.cpp:168-178)."""
+    from nrenderer_tpu.server.registry import get_server
+    monkeypatch.setenv("NR_MLT_BLOCK", "4")   # mutations=12 -> 3 blocks
+    monkeypatch.setenv("NR_MLT_PREVIEW_BLOCKS", "1")
+    # config matches test_mlt_checkpoint_resume_exact so the in-process
+    # _MLT_FN_CACHE entry (and the jit caches) are shared, not recompiled
+    scene = load_scn(str(resource_dir / "Metropolis.scn"))
+    scene.render_option.width = scene.render_option.height = 12
+    scene.render_option.depth = 4
+    screen = get_server().screen
+    posts = []
+    orig = screen.set
+
+    def spy(pixels, w, h):
+        posts.append((np.asarray(pixels).copy(), w, h))
+        return orig(pixels, w, h)
+
+    monkeypatch.setattr(screen, "set", spy)
+    img = render_mlt(scene, chains=16, mutations=12, n_init=64, seed=0)
+    # >= 2 mid-render posts (3 blocks, the last is the final flush which
+    # returns rather than posts)
+    assert len(posts) >= 2
+    for p, w, h in posts:
+        assert (w, h) == (12, 12) and p.shape == (12, 12, 4)
+        assert np.isfinite(p).all() and p.min() >= 0.0 and p.max() <= 1.0
+    # previews brighten-normalize by mutations so far: the first partial
+    # is a valid image, not a near-black under-scaled film
+    assert posts[0][0][..., :3].max() > 0.01
+
+
+def test_preview_disabled_by_env(resource_dir, monkeypatch):
+    from nrenderer_tpu.server.registry import get_server
+    monkeypatch.setenv("NR_MLT_BLOCK", "4")
+    monkeypatch.setenv("NR_MLT_PREVIEW_BLOCKS", "0")
+    scene = load_scn(str(resource_dir / "Metropolis.scn"))
+    scene.render_option.width = scene.render_option.height = 12
+    scene.render_option.depth = 4
+    screen = get_server().screen
+    posts = []
+    orig = screen.set
+    monkeypatch.setattr(screen, "set",
+                        lambda px, w, h: (posts.append(1), orig(px, w, h)))
+    render_mlt(scene, chains=16, mutations=12, n_init=64, seed=0)
+    assert posts == []
