@@ -462,7 +462,8 @@ def main(argv=None) -> int:
     pr.add_argument("--checkpoint",
                     help="checkpoint file for resumable rendering "
                          "(SimplePathTracer / AccPathTracer / "
-                         "MetropolisLightTransport; single-device only)")
+                         "MetropolisLightTransport; composes with "
+                         "--devices — sharded renders resume bit-exact)")
     pr.add_argument("--devices", type=int, default=1,
                     help="shard over N devices: sample budget for "
                          "SimplePathTracer/AccPathTracer, Markov chains "
