@@ -27,6 +27,8 @@ def main() -> int:
     import numpy as np
     import nrenderer_tpu
     nrenderer_tpu.enable_compilation_cache()
+    from nrenderer_tpu.utils.device_warm import warm_device_async
+    warm_device_async()  # claim the TPU pool chip during prep/compiles
     from nrenderer_tpu import load_scn, build_scene_arrays
     from nrenderer_tpu.ops.camera import make_camera
     from nrenderer_tpu.ops.intersect import make_static_scene

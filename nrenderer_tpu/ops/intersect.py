@@ -356,7 +356,7 @@ def make_static_scene(scene_arrays: SceneArrays) -> StaticScene:
                                              f(a.tri_uve2), f(a.tri_tex),
                                              stex_col, f(a.tri_valid)) if v)
     return StaticScene(sph=sph, tri=tri, pln=pln, al=al, mats=mats,
-                       ambient_type=int(a.ambient_type),
+                       ambient_type=int(np.asarray(a.ambient_type).reshape(())),
                        ambient_constant=tuple(f(a.ambient_constant)),
                        n_mats=mp.shape[0], tri_uv=tri_uv)
 

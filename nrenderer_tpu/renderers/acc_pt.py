@@ -223,6 +223,9 @@ class AccPathTracerRenderer(RenderComponent):
         self.checkpoint_path = checkpoint_path
 
     def render(self, scene: Scene) -> RenderResult:
+        # claim the TPU from the pool concurrently with prep + compiles
+        from ..utils.device_warm import warm_device_async
+        warm_device_async()
         # per-render phase stats (SURVEY §5.1), logged below
         from ..utils.timing import GLOBAL_TIMER, PhaseTimer
         timer = PhaseTimer()

@@ -1112,8 +1112,10 @@ def _finish_mlt(estimate_b, init_chains, run_block, flush_film, key, width,
                 fingerprint=None) -> np.ndarray:
     import os
     import time as _time
+    from ..utils.device_warm import warm_device_async
     from ..utils.timing import GLOBAL_TIMER, PhaseTimer
     import jax as _jax
+    warm_device_async()  # claim the TPU concurrently with the compiles
     debug = os.environ.get("NR_MLT_DEBUG") == "1"
     timer = PhaseTimer()
     # resolution enters ONLY as these traced scalars (+ the slice below)

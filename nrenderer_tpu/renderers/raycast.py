@@ -135,7 +135,9 @@ def render_raycast(scene_arrays: SceneArrays, cam: CameraParams,
 class RayCastRenderer(RenderComponent):
     def render(self, scene: Scene) -> RenderResult:
         from ..server.registry import get_server
+        from ..utils.device_warm import warm_device_async
         from ..utils.timing import PhaseTimer
+        warm_device_async()  # claim the TPU concurrently with prep
         timer = PhaseTimer()
         w = scene.render_option.width
         h = scene.render_option.height

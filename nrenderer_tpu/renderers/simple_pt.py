@@ -267,6 +267,9 @@ class SimplePathTracerRenderer(RenderComponent):
         self.preview_every = preview_every
 
     def render(self, scene: Scene) -> RenderResult:
+        # claim the TPU from the pool concurrently with prep + compiles
+        from ..utils.device_warm import warm_device_async
+        warm_device_async()
         # per-render phase stats, logged like the reference's per-thread
         # intersect timing (`SimplePathTracer.cpp:90-94`, SURVEY §5.1)
         from ..utils.timing import GLOBAL_TIMER, PhaseTimer

@@ -50,7 +50,13 @@ MAT_NPARAMS = 26
 
 
 class SceneArrays(NamedTuple):
-    """Frozen SoA scene pytree. Leading-dim sizes are static per scene."""
+    """Frozen SoA scene pytree. Leading-dim sizes are static per scene.
+
+    Fields are HOST numpy arrays (annotated jnp for the traced-arg view):
+    they are consumed by host-side prep (StaticScene constant folding, the
+    numpy BVH builders) and passed straight into jitted renderers, which
+    transfer them on call.  Keeping them off-device avoids the relay's
+    first device->host transfer stall (~60-110 s per fresh process)."""
     # spheres
     sph_pos: jnp.ndarray        # (S, 3)
     sph_radius: jnp.ndarray     # (S,)
@@ -394,15 +400,20 @@ def build_scene_arrays(scene: Scene, dtype=jnp.float32) -> SceneArrays:
         np.asarray(t.pixels, np.float64)[:, :, :3] if t.pixels is not None
         else np.zeros((1, 1, 3)) for t in scene.textures)
 
-    # convert on HOST and device_put the result: jnp.asarray(host, dtype)
-    # dispatches an eager convert_element_type, and each new shape compiles
-    # a tiny executable through the remote-compile relay (~40 arrays x ~2 s
-    # = minutes of cold scene-prep for a new mesh size); device_put of a
-    # ready numpy array is a plain transfer, no compile
-    import jax as _jax
-    f = lambda x: _jax.device_put(np.asarray(x, dtype=np.dtype(dtype)))
-    i32 = lambda x: _jax.device_put(np.asarray(x, dtype=np.int32))
-    b = lambda x: _jax.device_put(np.asarray(x, dtype=np.bool_))
+    # SceneArrays stays on HOST (numpy).  Two relay lessons baked in here:
+    # (1) jnp.asarray(host, dtype) dispatches an eager convert per array,
+    # and each new shape compiles a tiny executable through the
+    # remote-compile relay (~40 arrays x ~2 s = minutes of cold scene-prep
+    # for a new mesh size); (2) device_put-ing here is WORSE than useless —
+    # every downstream host consumer (make_static_scene, the numpy BVH
+    # builders, fingerprints) pulls the data straight back, and the FIRST
+    # device->host transfer of a fresh process stalls ~60-110 s behind the
+    # relay's startup window (measured r5).  Numpy fields are valid jit
+    # arguments (transferred on call), so renderers need no device copy;
+    # anything hot that loops should device_put once itself.
+    f = lambda x: np.ascontiguousarray(np.asarray(x, dtype=np.dtype(dtype)))
+    i32 = lambda x: np.ascontiguousarray(np.asarray(x, dtype=np.int32))
+    b = lambda x: np.ascontiguousarray(np.asarray(x, dtype=np.bool_))
 
     return SceneArrays(
         sph_pos=f(sph_pos_a), sph_radius=f(sph_rad_a),
