@@ -17,6 +17,45 @@ import numpy as np
 
 RES = "/root/reference/resource"
 
+# ---------------------------------------------------------------------------
+# Roofline / utilization accounting (VERDICT r4 #7).
+#
+# v5e-1 peaks (public spec + scaling-book hardware model):
+#   HBM   819 GB/s
+#   VPU   ~3.9 TFLOP/s f32 (8 sublanes x 128 lanes x 4 ALUs x ~950 MHz;
+#         an FMA counts as 2 FLOPs)
+#   MXU   197 TFLOP/s bf16 — listed for context; every shipped kernel is
+#         f32 VPU math (intersection tests, bounce physics), so VPU peak
+#         is the relevant compute roof.
+#
+# Per workload we model the USEFUL work (speed-of-light: the FLOPs an
+# ideal renderer must execute and the HBM bytes it must move — masked
+# lanes, saturated block unions, and re-walked tiles are deliberately
+# NOT counted) and print achieved-%-of-peak for both roofs.  Low % of
+# the binding roof therefore means headroom (waste or idleness), and the
+# larger of the two classifies the workload compute- vs bandwidth-bound.
+# FLOP costs per primitive test: sphere 25, plane 30 (inverse-matrix
+# precomputed), Moller-Trumbore triangle 60; bounce physics (ONB +
+# cosine sample + RR + film) ~250; hash RNG ~30/uniform.  All modeled,
+# good to ~2x — the point is chip-occupancy accounting, not flop court.
+# ---------------------------------------------------------------------------
+V5E_HBM = 819e9
+V5E_VPU = 3.9e12
+
+
+def prim_flops(ss, n_tri=None):
+    """Modeled FLOPs to test one ray against every unrolled primitive."""
+    if n_tri is None:
+        n_tri = len(ss.tri)
+    return len(ss.sph) * 25 + len(ss.pln) * 30 + n_tri * 60
+
+
+def util(dt, flops=0.0, hbm_bytes=0.0):
+    fp = flops / dt / V5E_VPU
+    bp = hbm_bytes / dt / V5E_HBM
+    kind = "compute" if fp >= bp else "bandwidth"
+    return (f"{fp * 100:.1f}% VPU, {bp * 100:.1f}% HBM ({kind}-bound)")
+
 
 def timed(fn, *args, warmup=True, **kw):
     if warmup:
@@ -38,11 +77,15 @@ def main() -> int:
     import nrenderer_tpu
     nrenderer_tpu.enable_compilation_cache()
     nrenderer_tpu._register_builtin_renderers()
+    from nrenderer_tpu.utils.device_warm import warm_device_async
+    warm_device_async()  # claim the TPU pool chip during prep/compiles
 
     backend = jax.default_backend()
     size = 128 if quick or backend == "cpu" else 512
     spp = 64 if quick or backend == "cpu" else 2048
     rows = []
+    # roofline strings are v5e-relative; meaningless on the CPU backend
+    uf = util if backend != "cpu" else (lambda *a, **k: "-")
 
     def setup(name):
         scene = load_scn(f"{RES}/{name}")
@@ -53,8 +96,12 @@ def main() -> int:
     from nrenderer_tpu.renderers.raycast import render_raycast
     scene, arr, ss, cam = setup("ray_cast_cornel.scn")
     dt, img = timed(render_raycast, arr, cam, size, size)
+    # primary + one shadow ray per pixel, Phong shade
+    rays = size * size
     rows.append(("RayCast cornel", f"{size}x{size}, 1 spp", dt,
-                 f"{size * size / dt / 1e6:.0f} Mray/s"))
+                 f"{size * size / dt / 1e6:.0f} Mray/s",
+                 uf(dt, flops=rays * (2 * prim_flops(ss) + 100),
+                    hbm_bytes=rays * 16)))
 
     # 2. SimplePathTracer north star (config 2)
     scene, arr, ss, cam = setup("path_tracing_cornel.scn")
@@ -70,8 +117,12 @@ def main() -> int:
         depth = 20
         dt, img = timed(render_simple_pt_pallas, ss, cam, size, size, spp,
                         depth, seed=1)
+    br = size * size * spp * depth  # nominal bounce-rays
+    pf_cornell = prim_flops(ss)
     rows.append(("PT cornel (north star)", f"{size}x{size}, {spp} spp, "
-                 f"depth {depth}", dt, f"{spp / dt:.0f} spp/s"))
+                 f"depth {depth}", dt, f"{spp / dt:.0f} spp/s",
+                 uf(dt, flops=br * (pf_cornell + len(ss.al) * 30 + 400),
+                    hbm_bytes=size * size * 12)))
 
     # 3. Glass/conductor BSDFs (config 3)
     scene, arr, ss, cam = setup("pt_glass.scn")
@@ -85,8 +136,12 @@ def main() -> int:
     else:
         dt, img = timed(render_bsdf_pt_pallas, ss, cam, size, size, spp, 20,
                         seed=1)
+    glass_depth = 8 if backend == "cpu" else 20
+    br = size * size * spp * glass_depth
     rows.append(("AccPT pt_glass (BSDFs)", f"{size}x{size}, {spp} spp", dt,
-                 f"{spp / dt:.0f} spp/s"))
+                 f"{spp / dt:.0f} spp/s",
+                 uf(dt, flops=br * (prim_flops(ss) + len(ss.al) * 30 + 800),
+                    hbm_bytes=size * size * 12)))
 
     # 3b. conductors.scn — the other half of BASELINE Config 3.  The stock
     # .scn ships ONLY the 14 metal materials (no geometry, no light — the
@@ -114,9 +169,12 @@ def main() -> int:
     else:
         dt, img = timed(render_bsdf_pt_pallas, ss, cam, size, size, spp,
                         cond_depth, seed=1)
+    br = size * size * spp * cond_depth
     rows.append(("AccPT conductors (Fresnel)",
                  f"{size}x{size}, {spp} spp, depth {cond_depth}",
-                 dt, f"{spp / dt:.0f} spp/s"))
+                 dt, f"{spp / dt:.0f} spp/s",
+                 uf(dt, flops=br * (prim_flops(ss) + len(ss.al) * 30 + 800),
+                    hbm_bytes=size * size * 12)))
 
     # 4. Bunny mesh (config 4).  On TPU this is the REFERENCE framing at
     # 500x500/depth 20 with spp scaled 4x down (64) — the mesh sweep +
@@ -143,9 +201,30 @@ def main() -> int:
     t0 = time.perf_counter()
     AccPathTracerRenderer(seed=1).render(scene)
     dt = time.perf_counter() - t0
+    # Useful-work model for the mesh path.  Constants measured on the
+    # real bunny chain (tools/perf/aabb_counts.py at 16M rays/depth 20):
+    #   HIT_FRAC   = sum of per-bounce mesh-AABB hits / nominal
+    #                bounce-rays (rays that MUST be swept at all)
+    #   ALIVE_FRAC = mean alive fraction over the chain (dense pass +
+    #                bounce physics run on every alive lane)
+    #   TRI_PER_HIT = triangle tests an ideal per-ray BVH descent would
+    #                do on a hitting ray (~leaf visits of a 5k median
+    #                split) — the sweep's block unions do far more; the
+    #                gap is exactly the headroom this column exposes.
+    HIT_FRAC, ALIVE_FRAC, TRI_PER_HIT = 0.047, 0.55, 48
+    br = ro.width * ro.height * ro.samples_per_pixel * ro.depth
+    arr_b = build_scene_arrays(scene)
+    ss_b = make_static_scene(arr_b)
+    mesh_flops = br * (ALIVE_FRAC * (prim_flops(ss_b, n_tri=0)
+                                     + len(ss_b.al) * 30 + 400)
+                       + HIT_FRAC * TRI_PER_HIT * 60)
+    # essential bytes: pack + unpack of the hit set through HBM, 13
+    # f32 channels each way (ray, t-cap, ids, normals, material)
+    mesh_bytes = br * HIT_FRAC * 13 * 4 * 2
     rows.append(("AccPT bunny-5k (mesh)", f"{ro.width}x{ro.height}, "
                  f"{ro.samples_per_pixel} spp, depth {ro.depth}", dt,
-                 f"{ro.samples_per_pixel / dt:.2f} spp/s"))
+                 f"{ro.samples_per_pixel / dt:.2f} spp/s",
+                 uf(dt, flops=mesh_flops, hbm_bytes=mesh_bytes)))
 
     # 4b. Env-map spheres (config 4's other half) — the reference DECLARES
     # Ambient::ENVIROMENT_MAP (`Scene.hpp:29-38`) but no shipped renderer
@@ -176,9 +255,12 @@ def main() -> int:
         else:
             dt, img = timed(render_bsdf_pt_pallas, ss, cam, size, size,
                             env_spp, 8, seed=1, env_map=arr.env_map)
+        br = size * size * env_spp * 8
         rows.append(("AccPT env-map spheres", f"{size}x{size}, {env_spp} "
                      "spp, depth 8", dt,
-                     f"{env_spp / dt:.0f} spp/s (ref: unimplemented)"))
+                     f"{env_spp / dt:.0f} spp/s (ref: unimplemented)",
+                     uf(dt, flops=br * (prim_flops(ss) + 450),
+                        hbm_bytes=size * size * 12)))
 
     # 4c. textured vs untextured mesh twins (VERDICT r2 #4 acceptance:
     # textures must stay on the fast engines, within 1.5x of the twin).
@@ -239,7 +321,8 @@ def main() -> int:
                      f"{min(size, 256)}x{min(size, 256)}, {tex_spp} spp, "
                      f"depth 6", times["textured"],
                      f"{ratio:.2f}x untextured twin "
-                     f"({times['untextured']:.2f}s)"))
+                     f"({times['untextured']:.2f}s)",
+                     "-"))  # ratio row: the twin IS the roofline
 
     # 5. MLT (config 5) — warm the block compile, then measure steady state
     from nrenderer_tpu.renderers.mlt import render_mlt
@@ -255,18 +338,39 @@ def main() -> int:
     t0 = time.perf_counter()
     render_mlt(scene, chains=chains, mutations=muts, n_init=n_init, seed=1)
     dt = time.perf_counter() - t0
+    # MLT useful work per mutation: two L-vertex subpaths traced against
+    # the unrolled scene + recurrence-factorized MIS/combine (~O(L^2)
+    # masked pair terms at ~20 FLOPs) + Kelemen splats (~40 live
+    # contributions x 16B through the film scatter)
+    arr_m = build_scene_arrays(scene)
+    ss_m = make_static_scene(arr_m)
+    L = ro.depth
+    mut = chains * muts
+    mlt_flops = mut * (2 * L * (prim_flops(ss_m) + 300)
+                       + L * L * 20 + 200)
     rows.append(("MLT Metropolis.scn", f"{ro.width}x{ro.height}, "
                  f"{chains}x{muts} mutations", dt,
-                 f"{chains * muts / dt / 1e3:.1f} Kmut/s"))
+                 f"{chains * muts / dt / 1e3:.1f} Kmut/s",
+                 uf(dt, flops=mlt_flops, hbm_bytes=mut * 40 * 16)))
 
     lines = [f"# Benchmarks ({backend})", "",
-             "| Workload | Config | Wall | Rate |", "|---|---|---|---|"]
-    for name, cfg, dt, rate in rows:
-        lines.append(f"| {name} | {cfg} | {dt:.2f}s | {rate} |")
+             "| Workload | Config | Wall | Rate | Utilization (modeled) |",
+             "|---|---|---|---|---|"]
+    for name, cfg, dt, rate, u in rows:
+        lines.append(f"| {name} | {cfg} | {dt:.2f}s | {rate} | {u} |")
     lines += ["",
               "Reference points: BVH bunny-5k 500x500 256spp = 1330s; "
               "MLT 16M mutations = 19573s (both from the reference's own "
-              "run logs in results/*.png); north-star target < 10s."]
+              "run logs in results/*.png); north-star target < 10s.",
+              "",
+              "Utilization is achieved useful work vs v5e-1 peaks "
+              "(819 GB/s HBM, ~3.9 TFLOP/s f32 VPU; no kernel uses the "
+              "MXU): modeled speed-of-light FLOPs/bytes per workload "
+              "(see bench_suite.py comments, good to ~2x) divided by "
+              "wall time.  Low % of the binding roof = headroom (masked "
+              "lanes, block-union overlap, dispatch gaps), not an idle "
+              "chip claim.  The larger of the two classifies the row "
+              "compute- vs bandwidth-bound."]
     text = "\n".join(lines) + "\n"
     print(text)
     if backend != "cpu" and not quick:
