@@ -310,6 +310,12 @@ class BlockedTris(NamedTuple):
     channels: jnp.ndarray  # (K, n_blocks, B)
     bb_min: jnp.ndarray    # (n_blocks, 3)
     bb_max: jnp.ndarray    # (n_blocks, 3)
+    # sub-block AABBs for finer in-kernel gating: (n_blocks, n_sub, 3)
+    # boxes over consecutive `B // n_sub`-triangle runs (BVH preorder =
+    # contiguous subtrees, so they stay tight).  All-padding sub-blocks
+    # get an empty box (+inf/-inf) and are skipped by the slab test.
+    sb_min: jnp.ndarray = None
+    sb_max: jnp.ndarray = None
     # per-triangle texture coords (None when the scene has no textured
     # faces): uv at v1, uv edges, texture id — the sweep interpolates the
     # winner's UV from its barycentrics (`with_uv`)
@@ -364,10 +370,28 @@ def pack_blocked_triangles(scene_arrays, mat_channels,
 
     v2p = v1 + e1
     v3p = v1 + e2
-    mn = np.minimum(np.minimum(v1, v2p), v3p)[order_p].reshape(
-        n_blocks, block, 3).min(axis=1)
-    mx = np.maximum(np.maximum(v1, v2p), v3p)[order_p].reshape(
-        n_blocks, block, 3).max(axis=1)
+    tri_mn = np.minimum(np.minimum(v1, v2p), v3p)[order_p].reshape(
+        n_blocks, block, 3)
+    tri_mx = np.maximum(np.maximum(v1, v2p), v3p)[order_p].reshape(
+        n_blocks, block, 3)
+    mn = tri_mn.min(axis=1)
+    mx = tri_mx.max(axis=1)
+    # sub-block AABBs (padding slots -> empty boxes so pure-padding
+    # sub-blocks never pass a slab test)
+    sub = int(os.environ.get("NR_MESH_SUBBLK", "32"))
+    sub = max(1, min(sub, block))
+    n_sub = -(-block // sub)
+    pad_sub = n_sub * sub - block
+    is_pad = (pid < 0).reshape(n_blocks, block, 1)
+    smn = np.where(is_pad, np.inf, tri_mn)
+    smx = np.where(is_pad, -np.inf, tri_mx)
+    if pad_sub:
+        smn = np.concatenate(
+            [smn, np.full((n_blocks, pad_sub, 3), np.inf)], axis=1)
+        smx = np.concatenate(
+            [smx, np.full((n_blocks, pad_sub, 3), -np.inf)], axis=1)
+    sb_mn = smn.reshape(n_blocks, n_sub, sub, 3).min(axis=2)
+    sb_mx = smx.reshape(n_blocks, n_sub, sub, 3).max(axis=2)
 
     uv_kw = {}
     tex_col = np.asarray(getattr(a, "tri_tex", np.full(v1.shape[0], -1)),
@@ -394,7 +418,9 @@ def pack_blocked_triangles(scene_arrays, mat_channels,
         mat=blk(mat.astype(np.float32)),
         pid=_put(pid.astype(np.float32).reshape(n_blocks, block)),
         channels=_put(channels.reshape(-1, n_blocks, block)),
-        bb_min=_put(mn), bb_max=_put(mx), **uv_kw)
+        bb_min=_put(mn), bb_max=_put(mx),
+        sb_min=_put(np.asarray(sb_mn, np.float32)),
+        sb_max=_put(np.asarray(sb_mx, np.float32)), **uv_kw)
 
 
 class MeshAccel(NamedTuple):

@@ -65,7 +65,8 @@ LANES = 128
 
 
 def sweep_tile(bbmin_ref, bbmax_ref, tri_refs, o, d, tcap, *,
-               n_blocks: int, b: int, t_min: float, uv_refs=None):
+               n_blocks: int, b: int, t_min: float, uv_refs=None,
+               sub_refs=None, n_sub: int = 1):
     """Blocked closest-triangle sweep over ONE ray tile, inside a Pallas
     kernel.  `tri_refs` = the 14 (n_blocks, b) VMEM-resident tables
     (v1, e1, e2, n, mat, pid); `bbmin/bbmax` the (n_blocks, 3) block AABBs
@@ -120,16 +121,12 @@ def sweep_tile(bbmin_ref, bbmax_ref, tri_refs, o, d, tcap, *,
 
         def sweep(c):
             if uv_refs is not None:
-                (t_best, idx_best, nx_best, ny_best, nz_best, mat_best,
-                 uvx_best, uvy_best, tex_best) = c
                 (uv1x_ref, uv1y_ref, ue1x_ref, ue1y_ref, ue2x_ref,
                  ue2y_ref, tex_ref) = uv_refs
                 uv1xr, uv1yr = uv1x_ref[blk], uv1y_ref[blk]
                 ue1xr, ue1yr = ue1x_ref[blk], ue1y_ref[blk]
                 ue2xr, ue2yr = ue2x_ref[blk], ue2y_ref[blk]
                 texr = tex_ref[blk]
-            else:
-                t_best, idx_best, nx_best, ny_best, nz_best, mat_best = c
             # one vector row load per table per block, then static lane
             # extracts — scalar VMEM loads at a dynamic row index are slow
             # for Mosaic to build; a (B,) row load + B static extracts is not
@@ -138,52 +135,101 @@ def sweep_tile(bbmin_ref, bbmax_ref, tri_refs, o, d, tcap, *,
             e2xr, e2yr, e2zr = e2x_ref[blk], e2y_ref[blk], e2z_ref[blk]
             nxr, nyr, nzr = nx_ref[blk], ny_ref[blk], nz_ref[blk]
             matr, pidr = mat_ref[blk], pid_ref[blk]
-            # unrolled B-triangle Moller-Trumbore, numerically identical
-            # to ops/bvh.py:intersect_triangles_blocked (equality-tested)
-            for i in range(b):
-                v1x, v1y, v1z = v1xr[i], v1yr[i], v1zr[i]
-                e1x, e1y, e1z = e1xr[i], e1yr[i], e1zr[i]
-                e2x, e2y, e2z = e2xr[i], e2yr[i], e2zr[i]
-                pidv = pidr[i]
-                px = dy * e2z - dz * e2y
-                py = dz * e2x - dx * e2z
-                pz = dx * e2y - dy * e2x
-                det0 = e1x * px + e1y * py + e1z * pz
-                sign = jnp.where(det0 > 0, 1.0, -1.0)
-                det = det0 * sign
-                tx = (ox - v1x) * sign
-                ty = (oy - v1y) * sign
-                tz = (oz - v1z) * sign
-                u = tx * px + ty * py + tz * pz
-                qx = ty * e1z - tz * e1y
-                qy = tz * e1x - tx * e1z
-                qz = tx * e1y - ty * e1x
-                vv = dx * qx + dy * qy + dz * qz
-                inv_det = 1.0 / jnp.where(det == 0, 1.0, det)
-                w = (e2x * qx + e2y * qy + e2z * qz) * inv_det
-                ok = ((det >= 1e-6) & (u >= 0) & (u <= det) & (vv >= 0)
-                      & (u + vv <= det) & (w >= t_min) & (w < t_best)
-                      & (pidv >= 0))
-                t_best = jnp.where(ok, w, t_best)
-                idx_best = jnp.where(ok, pidv, idx_best)
-                nx_best = jnp.where(ok, nxr[i], nx_best)
-                ny_best = jnp.where(ok, nyr[i], ny_best)
-                nz_best = jnp.where(ok, nzr[i], nz_best)
-                mat_best = jnp.where(ok, matr[i], mat_best)
+
+            def tri_run(lo, hi, state):
+                # unrolled Moller-Trumbore over triangles [lo, hi),
+                # numerically identical to
+                # ops/bvh.py:intersect_triangles_blocked (equality-tested)
                 if uv_refs is not None:
-                    bu = u * inv_det
-                    bv = vv * inv_det
-                    uvx_best = jnp.where(
-                        ok, uv1xr[i] + bu * ue1xr[i] + bv * ue2xr[i],
-                        uvx_best)
-                    uvy_best = jnp.where(
-                        ok, uv1yr[i] + bu * ue1yr[i] + bv * ue2yr[i],
-                        uvy_best)
-                    tex_best = jnp.where(ok, texr[i], tex_best)
-            out = (t_best, idx_best, nx_best, ny_best, nz_best, mat_best)
-            if uv_refs is not None:
-                out = out + (uvx_best, uvy_best, tex_best)
-            return out
+                    (t_best, idx_best, nx_best, ny_best, nz_best, mat_best,
+                     uvx_best, uvy_best, tex_best) = state
+                else:
+                    (t_best, idx_best, nx_best, ny_best, nz_best,
+                     mat_best) = state
+                for i in range(lo, hi):
+                    v1x, v1y, v1z = v1xr[i], v1yr[i], v1zr[i]
+                    e1x, e1y, e1z = e1xr[i], e1yr[i], e1zr[i]
+                    e2x, e2y, e2z = e2xr[i], e2yr[i], e2zr[i]
+                    pidv = pidr[i]
+                    px = dy * e2z - dz * e2y
+                    py = dz * e2x - dx * e2z
+                    pz = dx * e2y - dy * e2x
+                    det0 = e1x * px + e1y * py + e1z * pz
+                    sign = jnp.where(det0 > 0, 1.0, -1.0)
+                    det = det0 * sign
+                    tx = (ox - v1x) * sign
+                    ty = (oy - v1y) * sign
+                    tz = (oz - v1z) * sign
+                    u = tx * px + ty * py + tz * pz
+                    qx = ty * e1z - tz * e1y
+                    qy = tz * e1x - tx * e1z
+                    qz = tx * e1y - ty * e1x
+                    vv = dx * qx + dy * qy + dz * qz
+                    inv_det = 1.0 / jnp.where(det == 0, 1.0, det)
+                    w = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+                    ok = ((det >= 1e-6) & (u >= 0) & (u <= det) & (vv >= 0)
+                          & (u + vv <= det) & (w >= t_min) & (w < t_best)
+                          & (pidv >= 0))
+                    t_best = jnp.where(ok, w, t_best)
+                    idx_best = jnp.where(ok, pidv, idx_best)
+                    nx_best = jnp.where(ok, nxr[i], nx_best)
+                    ny_best = jnp.where(ok, nyr[i], ny_best)
+                    nz_best = jnp.where(ok, nzr[i], nz_best)
+                    mat_best = jnp.where(ok, matr[i], mat_best)
+                    if uv_refs is not None:
+                        bu = u * inv_det
+                        bv = vv * inv_det
+                        uvx_best = jnp.where(
+                            ok, uv1xr[i] + bu * ue1xr[i] + bv * ue2xr[i],
+                            uvx_best)
+                        uvy_best = jnp.where(
+                            ok, uv1yr[i] + bu * ue1yr[i] + bv * ue2yr[i],
+                            uvy_best)
+                        tex_best = jnp.where(ok, texr[i], tex_best)
+                out = (t_best, idx_best, nx_best, ny_best, nz_best, mat_best)
+                if uv_refs is not None:
+                    out = out + (uvx_best, uvy_best, tex_best)
+                return out
+
+            if sub_refs is None or n_sub <= 1:
+                return tri_run(0, b, c)
+            # sub-block gating: each `step`-triangle run (a contiguous
+            # BVH-preorder subtree) is slab-tested against its own AABB
+            # and skipped whole when no ray in the tile can beat its
+            # current best inside it — conservative, so results are
+            # identical to the ungated sweep
+            sbmin_ref, sbmax_ref = sub_refs
+            step = -(-b // n_sub)
+            st = c
+            for j in range(n_sub):
+                lo, hi = j * step, min((j + 1) * step, b)
+                if lo >= hi:
+                    break
+                smnx = sbmin_ref[blk, j, 0]
+                smny = sbmin_ref[blk, j, 1]
+                smnz = sbmin_ref[blk, j, 2]
+                smxx = sbmax_ref[blk, j, 0]
+                smxy = sbmax_ref[blk, j, 1]
+                smxz = sbmax_ref[blk, j, 2]
+                s0x = (smnx - ox) * inv_dx
+                s1x = (smxx - ox) * inv_dx
+                s0y = (smny - oy) * inv_dy
+                s1y = (smxy - oy) * inv_dy
+                s0z = (smnz - oz) * inv_dz
+                s1z = (smxz - oz) * inv_dz
+                s_near = jnp.maximum(jnp.maximum(jnp.minimum(s0x, s1x),
+                                                 jnp.minimum(s0y, s1y)),
+                                     jnp.minimum(s0z, s1z))
+                s_far = jnp.minimum(jnp.minimum(jnp.maximum(s0x, s1x),
+                                                jnp.maximum(s0y, s1y)),
+                                    jnp.maximum(s0z, s1z))
+                sub_hit = ((s_near <= s_far) & (s_far >= t_min)
+                           & (jnp.maximum(s_near, t_min) < st[0]))
+                st = jax.lax.cond(
+                    jnp.any(sub_hit),
+                    functools.partial(tri_run, lo, hi),
+                    lambda cc: cc, st)
+            return st
 
         return jax.lax.cond(jnp.any(box_hit), sweep, lambda c: c, carry)
 
@@ -194,12 +240,13 @@ def sweep_tile(bbmin_ref, bbmax_ref, tri_refs, o, d, tcap, *,
     return jax.lax.fori_loop(0, n_blocks, blk_body, init)
 
 
-def _sweep_kernel(nvalid_ref, bbmin_ref, bbmax_ref, ox_ref, oy_ref, oz_ref,
+def _sweep_kernel(nvalid_ref, bbmin_ref, bbmax_ref, sbmin_ref, sbmax_ref,
+                  ox_ref, oy_ref, oz_ref,
                   dx_ref, dy_ref, dz_ref, tcap_ref, v1x_ref, v1y_ref,
                   v1z_ref, e1x_ref, e1y_ref, e1z_ref, e2x_ref, e2y_ref,
                   e2z_ref, nx_ref, ny_ref, nz_ref, mat_ref, pid_ref,
                   t_out, idx_out, nx_out, ny_out, nz_out, mat_out, *,
-                  n_blocks: int, b: int, t_min: float):
+                  n_blocks: int, b: int, t_min: float, n_sub: int):
     base = pl.program_id(0) * (SUB_M * LANES)
     tri_refs = (v1x_ref, v1y_ref, v1z_ref, e1x_ref, e1y_ref, e1z_ref,
                 e2x_ref, e2y_ref, e2z_ref, nx_ref, ny_ref, nz_ref,
@@ -211,10 +258,12 @@ def _sweep_kernel(nvalid_ref, bbmin_ref, bbmax_ref, ox_ref, oy_ref, oz_ref,
     zeros = jnp.zeros((SUB_M, LANES), jnp.float32)
     init = (tcap, jnp.full((SUB_M, LANES), -1.0, jnp.float32),
             zeros, zeros, zeros, zeros)
+    sub_refs = (sbmin_ref, sbmax_ref) if n_sub > 1 else None
     out = jax.lax.cond(
         base < nvalid_ref[0],
         lambda c: sweep_tile(bbmin_ref, bbmax_ref, tri_refs, o, d, tcap,
-                             n_blocks=n_blocks, b=b, t_min=t_min),
+                             n_blocks=n_blocks, b=b, t_min=t_min,
+                             sub_refs=sub_refs, n_sub=n_sub),
         lambda c: c, init)
     t_best, idx_best, nx_best, ny_best, nz_best, mat_best = out
 
@@ -228,9 +277,9 @@ def _sweep_kernel(nvalid_ref, bbmin_ref, bbmax_ref, ox_ref, oy_ref, oz_ref,
 
 @functools.lru_cache(maxsize=64)
 def _build_sweep(n_tiles: int, n_blocks: int, b: int, t_min: float,
-                 interpret: bool):
+                 interpret: bool, n_sub: int = 1):
     kernel = functools.partial(_sweep_kernel, n_blocks=n_blocks, b=b,
-                               t_min=t_min)
+                               t_min=t_min, n_sub=n_sub)
     ray_shape = jax.ShapeDtypeStruct((n_tiles, SUB_M, LANES), jnp.float32)
     ray_block = pl.BlockSpec((1, SUB_M, LANES), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM)
@@ -238,15 +287,15 @@ def _build_sweep(n_tiles: int, n_blocks: int, b: int, t_min: float,
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
 
     @jax.jit
-    def run(n_valid, bb_min, bb_max, rays, tris):
+    def run(n_valid, bb_min, bb_max, sb_min, sb_max, rays, tris):
         return pl.pallas_call(
             kernel,
             grid=(n_tiles,),
-            in_specs=[smem, smem, smem] + [ray_block] * 7 + [tri_spec] * 14,
+            in_specs=[smem] * 5 + [ray_block] * 7 + [tri_spec] * 14,
             out_shape=(ray_shape,) * 6,
             out_specs=(ray_block,) * 6,
             interpret=interpret,
-        )(n_valid, bb_min, bb_max, *rays, *tris)
+        )(n_valid, bb_min, bb_max, sb_min, sb_max, *rays, *tris)
 
     return run
 
@@ -294,10 +343,20 @@ def sweep_mesh_full(bt: BlockedTris, o: V3, d: V3, t_min: float,
     tris = (bt.v1x, bt.v1y, bt.v1z, bt.e1x, bt.e1y, bt.e1z, bt.e2x, bt.e2y,
             bt.e2z, bt.nx, bt.ny, bt.nz, bt.mat, bt.pid)
 
+    # sub-block gating (NR_MESH_SUBBLK, default on at build granularity):
+    # older pools without sub-AABBs and an explicit =0 both disable it
+    sb_min, sb_max = bt.sb_min, bt.sb_max
+    if sb_min is None or os.environ.get("NR_MESH_SUBBLK", "32") == "0":
+        sb_min = jnp.zeros((1, 1, 3), jnp.float32)
+        sb_max = jnp.zeros((1, 1, 3), jnp.float32)
+        n_sub = 1
+    else:
+        n_sub = int(sb_min.shape[1])
+
     run = _build_sweep(n_tiles, int(bt.v1x.shape[0]), int(bt.block),
-                       float(t_min), bool(interpret))
+                       float(t_min), bool(interpret), n_sub)
     outs = run(jnp.asarray(n_valid, jnp.int32).reshape(1),
-               bt.bb_min, bt.bb_max, rays, tris)
+               bt.bb_min, bt.bb_max, sb_min, sb_max, rays, tris)
     t, idx, nx, ny, nz, mat = (a.reshape(-1)[:n] for a in outs)
     return t, idx.astype(jnp.int32), nx, ny, nz, mat
 
