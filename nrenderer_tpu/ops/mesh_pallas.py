@@ -55,12 +55,17 @@ from .stream_compact import (stream_pack_channels, stream_rows_needed,
                              stream_unpack_channels)
 from .soa import V3
 
-SUB_M = int(os.environ.get("NR_MESH_SUB_M", "32"))
-# ^ ray-tile height: SUB_M x 128 rays per grid program.  Smaller tiles
-# tighten the per-tile block UNION (each tile sweeps only blocks whose
-# AABB any of its rays enters) at the cost of more grid steps; 32 is the
-# default the round-3 numbers were measured at — the env knob exists for
-# A/B sweeps on real workloads (shuffled microbenches mislead here).
+def _sub_m() -> int:
+    """Ray-tile height: SUB_M x 128 rays per grid program.  Smaller tiles
+    tighten the per-tile block UNION (each tile sweeps only blocks whose
+    AABB any of its rays enters) at the cost of more grid steps — and the
+    entry-cell sort makes adjacent packed rays spatially coherent, so the
+    union-tightening is much stronger on sorted buffers.  Read per trace
+    (NR_MESH_SUB_M) so A/B sweeps don't need a fresh process."""
+    return int(os.environ.get("NR_MESH_SUB_M", "32"))
+
+
+SUB_M = _sub_m()  # legacy import-time view (pt_pallas megamesh docs only)
 LANES = 128
 
 
@@ -246,8 +251,9 @@ def _sweep_kernel(nvalid_ref, bbmin_ref, bbmax_ref, sbmin_ref, sbmax_ref,
                   v1z_ref, e1x_ref, e1y_ref, e1z_ref, e2x_ref, e2y_ref,
                   e2z_ref, nx_ref, ny_ref, nz_ref, mat_ref, pid_ref,
                   t_out, idx_out, nx_out, ny_out, nz_out, mat_out, *,
-                  n_blocks: int, b: int, t_min: float, n_sub: int):
-    base = pl.program_id(0) * (SUB_M * LANES)
+                  n_blocks: int, b: int, t_min: float, n_sub: int,
+                  sub_m: int):
+    base = pl.program_id(0) * (sub_m * LANES)
     tri_refs = (v1x_ref, v1y_ref, v1z_ref, e1x_ref, e1y_ref, e1z_ref,
                 e2x_ref, e2y_ref, e2z_ref, nx_ref, ny_ref, nz_ref,
                 mat_ref, pid_ref)
@@ -255,8 +261,8 @@ def _sweep_kernel(nvalid_ref, bbmin_ref, bbmax_ref, sbmin_ref, sbmax_ref,
     d = V3(dx_ref[0], dy_ref[0], dz_ref[0])
     tcap = tcap_ref[0]
 
-    zeros = jnp.zeros((SUB_M, LANES), jnp.float32)
-    init = (tcap, jnp.full((SUB_M, LANES), -1.0, jnp.float32),
+    zeros = jnp.zeros((sub_m, LANES), jnp.float32)
+    init = (tcap, jnp.full((sub_m, LANES), -1.0, jnp.float32),
             zeros, zeros, zeros, zeros)
     sub_refs = (sbmin_ref, sbmax_ref) if n_sub > 1 else None
     out = jax.lax.cond(
@@ -277,11 +283,11 @@ def _sweep_kernel(nvalid_ref, bbmin_ref, bbmax_ref, sbmin_ref, sbmax_ref,
 
 @functools.lru_cache(maxsize=64)
 def _build_sweep(n_tiles: int, n_blocks: int, b: int, t_min: float,
-                 interpret: bool, n_sub: int = 1):
+                 interpret: bool, n_sub: int = 1, sub_m: int = 32):
     kernel = functools.partial(_sweep_kernel, n_blocks=n_blocks, b=b,
-                               t_min=t_min, n_sub=n_sub)
-    ray_shape = jax.ShapeDtypeStruct((n_tiles, SUB_M, LANES), jnp.float32)
-    ray_block = pl.BlockSpec((1, SUB_M, LANES), lambda i: (i, 0, 0),
+                               t_min=t_min, n_sub=n_sub, sub_m=sub_m)
+    ray_shape = jax.ShapeDtypeStruct((n_tiles, sub_m, LANES), jnp.float32)
+    ray_block = pl.BlockSpec((1, sub_m, LANES), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM)
     tri_spec = pl.BlockSpec(memory_space=pltpu.VMEM)  # resident, unblocked
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -313,7 +319,8 @@ def sweep_mesh_full(bt: BlockedTris, o: V3, d: V3, t_min: float,
     if interpret is None:  # CPU (tests / virtual mesh) runs interpreted
         interpret = jax.default_backend() == "cpu"
     n = o.x.shape[0]
-    tile = SUB_M * LANES
+    sub_m = _sub_m()
+    tile = sub_m * LANES
     n_tiles = pl.cdiv(n, tile)
     n_pad = n_tiles * tile
 
@@ -323,7 +330,7 @@ def sweep_mesh_full(bt: BlockedTris, o: V3, d: V3, t_min: float,
     if n_valid is None:
         n_valid = jnp.int32(n)
     else:
-        # The kernel's n_valid check skips whole SUB_M*128 tiles; rays in a
+        # The kernel's n_valid check skips whole sub_m*128 tiles; rays in a
         # partially-valid tile must be masked per-ray too, or hits past an
         # unaligned n_valid leak out (ADVICE r2).  t_cap=0 makes a ray
         # unsatisfiable (no w with t_min <= w < 0).
@@ -335,7 +342,7 @@ def sweep_mesh_full(bt: BlockedTris, o: V3, d: V3, t_min: float,
         if n_pad != n:
             a = jnp.concatenate(
                 [a, jnp.full((n_pad - n,), fill, jnp.float32)])
-        return a.reshape(n_tiles, SUB_M, LANES)
+        return a.reshape(n_tiles, sub_m, LANES)
 
     # padded rays get t_cap=0: no w can satisfy t_min <= w < 0
     rays = (prep(o.x), prep(o.y), prep(o.z), prep(d.x), prep(d.y), prep(d.z),
@@ -354,7 +361,7 @@ def sweep_mesh_full(bt: BlockedTris, o: V3, d: V3, t_min: float,
         n_sub = int(sb_min.shape[1])
 
     run = _build_sweep(n_tiles, int(bt.v1x.shape[0]), int(bt.block),
-                       float(t_min), bool(interpret), n_sub)
+                       float(t_min), bool(interpret), n_sub, sub_m)
     outs = run(jnp.asarray(n_valid, jnp.int32).reshape(1),
                bt.bb_min, bt.bb_max, sb_min, sb_max, rays, tris)
     t, idx, nx, ny, nz, mat = (a.reshape(-1)[:n] for a in outs)
