@@ -326,6 +326,23 @@ class BlockedTris(NamedTuple):
     ue2x: jnp.ndarray = None
     ue2y: jnp.ndarray = None
     tex: jnp.ndarray = None
+    # MXU bilinear coefficients (round 5): every Moller-Trumbore quantity
+    # is LINEAR in the 10-dim ray feature f = [1, o', d, o'xd] (o' = origin
+    # centered on the mesh AABB — centering bounds the cancellation error
+    # the factored form otherwise pays at world coordinates):
+    #   det    = (e2 x e1) . d
+    #   u_raw  = e2 . (o'xd) + (v1' x e2) . d
+    #   v_raw  = -e1 . (o'xd) + (e1 x v1') . d
+    #   t*det  = (e1 x e2) . o' - (v1' . (e1 x e2))
+    # so a (4B, 16) per-block table turns the whole block test into ONE
+    # (4B,16)@(16,128) matmul per ray row — the sweep's multiply work moves
+    # from the VPU to the MXU (`mesh_pallas.sweep_tile_mxu`).  Feature dims
+    # 10..15 are zero padding to the f32 sublane tile.
+    mxu_coef: jnp.ndarray = None  # (n_blocks, 4*B, 16)
+    # static python floats (kernel parameter, NOT device data); becomes
+    # traced when the accel itself is a jit argument, which the engine
+    # select treats as "fall back to the VPU sweep"
+    mxu_center: tuple = None
 
     @property
     def block(self) -> int:
@@ -410,6 +427,25 @@ def pack_blocked_triangles(scene_arrays, mat_channels,
                      ue2x=blk(ue2[:, 0]), ue2y=blk(ue2[:, 1]),
                      tex=blk(tex_col))
 
+    # MXU bilinear coefficient table (see BlockedTris.mxu_coef); the
+    # centering used here rides along as static floats (mxu_center).
+    center = ((mn.min(axis=0) + mx.max(axis=0)).astype(np.float32)
+              * np.float32(0.5))
+    v1o, e1o, e2o = v1[order_p], e1[order_p], e2[order_p]
+    v1c = (v1o - center).astype(np.float32)
+    n12 = np.cross(e1o, e2o)
+    coef = np.zeros((t + pad, 4, 16), np.float32)
+    coef[:, 0, 4:7] = np.cross(e2o, e1o)          # det:   d
+    coef[:, 1, 4:7] = np.cross(v1c, e2o)          # u:     d
+    coef[:, 1, 7:10] = e2o                        # u:     o'xd
+    coef[:, 2, 4:7] = np.cross(e1o, v1c)          # v:     d
+    coef[:, 2, 7:10] = -e1o                       # v:     o'xd
+    coef[:, 3, 0] = -(v1c * n12).sum(axis=-1)     # t*det: 1
+    coef[:, 3, 1:4] = n12                         # t*det: o'
+    coef[pid < 0] = 0.0  # padding: det == 0 never passes the eps test
+    coef = coef.reshape(n_blocks, block, 4, 16).transpose(
+        0, 2, 1, 3).reshape(n_blocks, 4 * block, 16)
+
     return BlockedTris(
         v1x=blk(v1[:, 0]), v1y=blk(v1[:, 1]), v1z=blk(v1[:, 2]),
         e1x=blk(e1[:, 0]), e1y=blk(e1[:, 1]), e1z=blk(e1[:, 2]),
@@ -420,7 +456,9 @@ def pack_blocked_triangles(scene_arrays, mat_channels,
         channels=_put(channels.reshape(-1, n_blocks, block)),
         bb_min=_put(mn), bb_max=_put(mx),
         sb_min=_put(np.asarray(sb_mn, np.float32)),
-        sb_max=_put(np.asarray(sb_mx, np.float32)), **uv_kw)
+        sb_max=_put(np.asarray(sb_mx, np.float32)),
+        mxu_coef=_put(coef),
+        mxu_center=tuple(float(c) for c in center), **uv_kw)
 
 
 class MeshAccel(NamedTuple):

@@ -245,6 +245,178 @@ def sweep_tile(bbmin_ref, bbmax_ref, tri_refs, o, d, tcap, *,
     return jax.lax.fori_loop(0, n_blocks, blk_body, init)
 
 
+def sweep_tile_mxu(bbmin_ref, bbmax_ref, coef_ref, shade_rows, o, d, tcap,
+                   *, n_blocks: int, b: int, t_min: float, center,
+                   sub_m: int):
+    """MXU variant of `sweep_tile` (VERDICT r4 #1): the per-block
+    Moller-Trumbore test is a `(4B,16)@(16,128)` matmul per ray row against
+    host-precomputed bilinear coefficients (`BlockedTris.mxu_coef`), so the
+    multiply work rides the systolic array; the VPU only runs the accept
+    tests and the winner reduction on the (tris, rays) result panes.
+
+    `shade_rows(blk) -> (5, B)` stacks [nx, ny, nz, mat, pid] for the
+    winner-extraction matvec `(5,B)@(B,128)` (one nonzero per column, so
+    the f32 sum is exact).  Not bit-identical to the VPU engine — the
+    factored coefficients round differently — but centered coordinates
+    keep the boundary fuzz ~1e-6 of an edge length (tolerance-tested on
+    CPU, `tests/test_mesh_pallas.py`)."""
+    cx, cy, cz = center
+    oxc, oyc, ozc = o.x - cx, o.y - cy, o.z - cz
+    dx, dy, dz = d.x, d.y, d.z
+    # o' x d, hoisted once per tile
+    rcx = oyc * dz - ozc * dy
+    rcy = ozc * dx - oxc * dz
+    rcz = oxc * dy - oyc * dx
+    ones = jnp.ones_like(oxc)
+    zeros = jnp.zeros_like(oxc)
+    # (sub_m, 16, 128): per-row ray feature matrices
+    feats = jnp.stack([ones, oxc, oyc, ozc, dx, dy, dz, rcx, rcy, rcz,
+                       zeros, zeros, zeros, zeros, zeros, zeros], axis=1)
+
+    inv_dx = 1.0 / jnp.where(jnp.abs(dx) < 1e-20, 1e-20, dx)
+    inv_dy = 1.0 / jnp.where(jnp.abs(dy) < 1e-20, 1e-20, dy)
+    inv_dz = 1.0 / jnp.where(jnp.abs(dz) < 1e-20, 1e-20, dz)
+    ox, oy, oz = o.x, o.y, o.z
+    iota = jax.lax.broadcasted_iota(jnp.int32, (b, LANES), 0)
+
+    def blk_body(blk, carry):
+        t_best = carry[0]
+        mnx, mny, mnz = bbmin_ref[blk, 0], bbmin_ref[blk, 1], bbmin_ref[blk, 2]
+        mxx, mxy, mxz = bbmax_ref[blk, 0], bbmax_ref[blk, 1], bbmax_ref[blk, 2]
+        t0x = (mnx - ox) * inv_dx
+        t1x = (mxx - ox) * inv_dx
+        t0y = (mny - oy) * inv_dy
+        t1y = (mxy - oy) * inv_dy
+        t0z = (mnz - oz) * inv_dz
+        t1z = (mxz - oz) * inv_dz
+        t_near = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                         jnp.minimum(t0y, t1y)),
+                             jnp.minimum(t0z, t1z))
+        t_far = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                        jnp.maximum(t0y, t1y)),
+                            jnp.maximum(t0z, t1z))
+        box_hit = ((t_near <= t_far) & (t_far >= t_min)
+                   & (jnp.maximum(t_near, t_min) < t_best))
+
+        def sweep(c):
+            t_best, idx_best, nx_best, ny_best, nz_best, mat_best = c
+            A = coef_ref[blk]          # (4b, 16)
+            chs = shade_rows(blk)      # (5, b): nx, ny, nz, mat, pid
+            rows = []                  # per-row (t, idx, nx, ny, nz, mat)
+            for m in range(sub_m):
+                # HIGHEST: the TPU default matmul precision is bf16-ish,
+                # whose 8 mantissa bits break the eps/boundary tests (and
+                # the pid extraction outright: 5000 rounds to +-16)
+                C = jnp.dot(A, feats[m], precision=jax.lax.Precision.HIGHEST,
+                            preferred_element_type=jnp.float32)  # (4b, 128)
+                det = C[0 * b:1 * b]
+                u = C[1 * b:2 * b]
+                v = C[2 * b:3 * b]
+                wp = C[3 * b:4 * b]
+                s = jnp.where(det >= 0, 1.0, -1.0)
+                ad = det * s
+                t1 = u * s
+                t2 = v * s
+                ws = wp * s
+                tb = t_best[m][None, :]          # (1, 128)
+                # ws/ad compares are done cross-multiplied (ad > 0 on any
+                # candidate); tb=inf with ad=0 padding gives NaN, which
+                # compares false — exactly the rejection we want
+                ok = ((ad >= 1e-6) & (t1 >= 0) & (t1 <= ad) & (t2 >= 0)
+                      & (t1 + t2 <= ad) & (ws >= t_min * ad)
+                      & (ws < tb * ad))
+                w = ws / jnp.where(ad == 0, 1.0, ad)
+                wmask = jnp.where(ok, w, jnp.inf)
+                wmin = jnp.min(wmask, axis=0)    # (128,)
+                valid = wmin < t_best[m]
+                # first tri achieving wmin wins (strict-< keeps block order
+                # semantics identical to the VPU chain)
+                eq = wmask == wmin[None, :]
+                iwin = jnp.min(jnp.where(eq, iota, jnp.int32(b)), axis=0)
+                fm = ((iota == iwin[None, :]) & eq).astype(jnp.float32)
+                ext = jnp.dot(chs, fm, precision=jax.lax.Precision.HIGHEST,
+                              preferred_element_type=jnp.float32)
+                rows.append((jnp.where(valid, wmin, t_best[m]),
+                             jnp.where(valid, ext[4], idx_best[m]),
+                             jnp.where(valid, ext[0], nx_best[m]),
+                             jnp.where(valid, ext[1], ny_best[m]),
+                             jnp.where(valid, ext[2], nz_best[m]),
+                             jnp.where(valid, ext[3], mat_best[m])))
+            # carries are rebuilt whole by stacking the row results —
+            # Mosaic lowers neither scatter nor dynamic_update_slice, and
+            # a concatenate of static rows is just vreg writes
+            return tuple(
+                jnp.concatenate([r[q][None, :] for r in rows], axis=0)
+                for q in range(6))
+
+        return jax.lax.cond(jnp.any(box_hit), sweep, lambda c: c, carry)
+
+    zeros_c = jnp.zeros_like(tcap)
+    init = (tcap, jnp.full_like(tcap, -1.0), zeros_c, zeros_c, zeros_c,
+            zeros_c)
+    return jax.lax.fori_loop(0, n_blocks, blk_body, init)
+
+
+def _sweep_kernel_mxu(nvalid_ref, bbmin_ref, bbmax_ref, coef_ref,
+                      ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                      tcap_ref, nx_ref, ny_ref, nz_ref, mat_ref, pid_ref,
+                      t_out, idx_out, nx_out, ny_out, nz_out, mat_out, *,
+                      n_blocks: int, b: int, t_min: float, center,
+                      sub_m: int):
+    base = pl.program_id(0) * (sub_m * LANES)
+    o = V3(ox_ref[0], oy_ref[0], oz_ref[0])
+    d = V3(dx_ref[0], dy_ref[0], dz_ref[0])
+    tcap = tcap_ref[0]
+
+    def shade_rows(blk):
+        return jnp.stack([nx_ref[blk], ny_ref[blk], nz_ref[blk],
+                          mat_ref[blk], pid_ref[blk]])
+
+    zeros = jnp.zeros((sub_m, LANES), jnp.float32)
+    init = (tcap, jnp.full((sub_m, LANES), -1.0, jnp.float32),
+            zeros, zeros, zeros, zeros)
+    out = jax.lax.cond(
+        base < nvalid_ref[0],
+        lambda c: sweep_tile_mxu(bbmin_ref, bbmax_ref, coef_ref, shade_rows,
+                                 o, d, tcap, n_blocks=n_blocks, b=b,
+                                 t_min=t_min, center=center, sub_m=sub_m),
+        lambda c: c, init)
+    t_best, idx_best, nx_best, ny_best, nz_best, mat_best = out
+
+    t_out[0] = jnp.where(idx_best >= 0, t_best, jnp.float32(jnp.inf))
+    idx_out[0] = idx_best
+    nx_out[0] = nx_best
+    ny_out[0] = ny_best
+    nz_out[0] = nz_best
+    mat_out[0] = mat_best
+
+
+@functools.lru_cache(maxsize=64)
+def _build_sweep_mxu(n_tiles: int, n_blocks: int, b: int, t_min: float,
+                     interpret: bool, sub_m: int, center):
+    kernel = functools.partial(_sweep_kernel_mxu, n_blocks=n_blocks, b=b,
+                               t_min=t_min, center=center, sub_m=sub_m)
+    ray_shape = jax.ShapeDtypeStruct((n_tiles, sub_m, LANES), jnp.float32)
+    ray_block = pl.BlockSpec((1, sub_m, LANES), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+    tri_spec = pl.BlockSpec(memory_space=pltpu.VMEM)  # resident, unblocked
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    @jax.jit
+    def run(n_valid, bb_min, bb_max, coef, rays, tris):
+        return pl.pallas_call(
+            kernel,
+            grid=(n_tiles,),
+            in_specs=[smem] * 3 + [tri_spec] + [ray_block] * 7
+            + [tri_spec] * 5,
+            out_shape=(ray_shape,) * 6,
+            out_specs=(ray_block,) * 6,
+            interpret=interpret,
+        )(n_valid, bb_min, bb_max, coef, *rays, *tris)
+
+    return run
+
+
 def _sweep_kernel(nvalid_ref, bbmin_ref, bbmax_ref, sbmin_ref, sbmax_ref,
                   ox_ref, oy_ref, oz_ref,
                   dx_ref, dy_ref, dz_ref, tcap_ref, v1x_ref, v1y_ref,
@@ -349,6 +521,26 @@ def sweep_mesh_full(bt: BlockedTris, o: V3, d: V3, t_min: float,
             prep(t_cap, fill=0.0))
     tris = (bt.v1x, bt.v1y, bt.v1z, bt.e1x, bt.e1y, bt.e1z, bt.e2x, bt.e2y,
             bt.e2z, bt.nx, bt.ny, bt.nz, bt.mat, bt.pid)
+
+    # MXU engine (NR_MESH_MXU=1): bilinear-form Moller-Trumbore on the
+    # systolic array.  Needs the coefficient table AND a concrete accel
+    # (the center is a STATIC kernel parameter) — traced accels (equality
+    # tests jit the accel as an argument) fall back to the VPU engine.
+    if (os.environ.get("NR_MESH_MXU", "0") == "1"
+            and bt.mxu_coef is not None and bt.mxu_center is not None):
+        try:
+            center = tuple(float(c) for c in bt.mxu_center)
+        except Exception:
+            center = None
+        if center is not None:
+            run = _build_sweep_mxu(n_tiles, int(bt.v1x.shape[0]),
+                                   int(bt.block), float(t_min),
+                                   bool(interpret), sub_m, center)
+            outs = run(jnp.asarray(n_valid, jnp.int32).reshape(1),
+                       bt.bb_min, bt.bb_max, bt.mxu_coef, rays,
+                       (bt.nx, bt.ny, bt.nz, bt.mat, bt.pid))
+            t, idx, nx, ny, nz, mat = (a.reshape(-1)[:n] for a in outs)
+            return t, idx.astype(jnp.int32), nx, ny, nz, mat
 
     # sub-block gating (NR_MESH_SUBBLK, default on at build granularity):
     # older pools without sub-AABBs and an explicit =0 both disable it

@@ -64,6 +64,33 @@ def test_full_tuple_matches_blocked(setup):
                                    atol=1e-6)
 
 
+def test_mxu_engine_tolerance_parity(setup, monkeypatch):
+    """NR_MESH_MXU=1 sweeps via the bilinear-form matmul kernel
+    (`sweep_tile_mxu`) — not bit-identical to the VPU chain (the factored
+    coefficients round differently), but centered coordinates keep the
+    boundary fuzz ~1e-6 of an edge: hit classification may flip only on
+    a tiny fraction of rays, and agreeing hits must match closely."""
+    ma, ch, o, dv, blocked = setup
+    tb, nxb, nyb, nzb, matb, pidb, chb = blocked
+    monkeypatch.setenv("NR_MESH_MXU", "1")
+    t_dense = jnp.full((o.x.shape[0],), jnp.inf)
+    t, nx, ny, nz, mat, pid, chp = intersect_triangles_mesh(
+        ma, o, dv, 1e-3, t_dense, ch)
+    tb_, t_ = np.asarray(tb), np.asarray(t)
+    hb, hm = np.isfinite(tb_), np.isfinite(t_)
+    assert hb.sum() > 1000
+    flips = (hb != hm).sum()
+    assert flips <= max(2, int(0.002 * hb.size)), flips
+    both = hb & hm
+    np.testing.assert_allclose(t_[both], tb_[both], rtol=1e-4)
+    same_tri = np.asarray(pid)[both] == np.asarray(pidb)[both]
+    assert same_tri.mean() > 0.998
+    for got, want in [(nx, nxb), (ny, nyb), (nz, nzb), (mat, matb),
+                      (chp[0], chb[0]), (chp[1], chb[1])]:
+        g, w = np.asarray(got)[both][same_tri], np.asarray(want)[both][same_tri]
+        np.testing.assert_allclose(g, w, atol=1e-5)
+
+
 def test_gather_form_matches_blocked(setup):
     ma, ch, o, dv, blocked = setup
     tb, *_, chb = blocked

@@ -101,14 +101,32 @@ def smoke_compact():
                                         (jnp.zeros((n,)),), ridx=ridx)
         return packed, back, n_hit
 
-    (packed, back, n_hit), dt = timed(roundtrip, mask, vals)
+    # rate is measured on K roundtrips CHAINED inside one lax.scan — a
+    # single 1M-lane roundtrip is ~1 ms of kernel under ~25 ms of axon
+    # relay dispatch, so a per-call rate just measures today's tunnel
+    # latency (it varies per harness session; measured 44 vs 1208
+    # "Mlane/s" for the SAME kernel across two sessions)
+    K = 8
+
+    @jax.jit
+    def chained(mask, vals):
+        def step(v, _):
+            (p,), ridx, _ = shift_pack_channels(mask, (v,), cap)
+            (b,) = shift_unpack_channels(mask, (p,), (jnp.zeros((n,)),),
+                                         ridx=ridx)
+            return b + 1e-7, None  # depend on the result: no hoisting
+        out, _ = jax.lax.scan(step, vals, xs=None, length=K)
+        return out
+
+    packed, back, n_hit = roundtrip(mask, vals)
+    _, dt = timed(chained, mask, vals)
     m = np.asarray(mask)
     want = np.asarray(vals)[m][:cap]
     got = np.asarray(packed)[:int(n_hit)]
     ok = (got.shape == want.shape and np.array_equal(got, want)
           and np.array_equal(np.asarray(back)[m][:cap], want)
           and not np.asarray(back)[~m].any())
-    rok, rdet = rate_bar("compact", n / dt / 1e6, "Mlane/s")
+    rok, rdet = rate_bar("compact", n * K / dt / 1e6, "Mlane/s")
     check("compact", ok and rok, f"1M-lane pack+unpack exact, {rdet}")
 
 
@@ -211,7 +229,7 @@ def _render(scn, renderer, w, h, spp, depth, setup=None, **kw):
 def smoke_pt():
     from nrenderer_tpu.renderers.simple_pt import SimplePathTracerRenderer
     w = h = 128
-    spp, depth = 256, 8
+    spp, depth = 1024, 8  # ~1 s of kernel: dispatch round-trips stay noise
     img_p, dt = _render("path_tracing_cornel.scn", SimplePathTracerRenderer,
                         w, h, spp, depth)
     os.environ["NR_ENGINE"] = "xla"
@@ -259,17 +277,19 @@ def smoke_env():
         scene.textures.append(Texture(name="env", pixels=px))
         scene.ambient.type = AmbientType.ENVIRONMENT_MAP
 
+    # 256 spp: ~1 s of kernel, so the handful of per-render dispatch
+    # round-trips (which vary with the session tunnel) stay noise
     img_e, dt = _render("env_map_spheres.scn", AccPathTracerRenderer,
-                        128, 128, 64, 6, setup=setup)
+                        128, 128, 256, 6, setup=setup)
     os.environ["NR_ENV_EXACT0"] = "0"
     try:
         img_x, _ = _render("env_map_spheres.scn", AccPathTracerRenderer,
-                           128, 128, 64, 6, setup=setup)
+                           128, 128, 256, 6, setup=setup)
     finally:
         os.environ.pop("NR_ENV_EXACT0")
     corr = np.corrcoef(blur(img_e).reshape(-1),
                        blur(img_x).reshape(-1))[0, 1]
-    rok, rdet = rate_bar("env", 64 / dt, "spp/s")
+    rok, rdet = rate_bar("env", 256 / dt, "spp/s")
     ok = (np.isfinite(img_e).all()
           and abs(float(img_e.mean() - img_x.mean())) < 0.02
           and corr > 0.98 and rok)
@@ -285,6 +305,11 @@ def smoke_mlt():
     scene.render_option.height = 64
     scene.render_option.depth = 8
     chains, muts = 1024, 64
+    # warm render first: the rate bar is on WARM throughput — with a
+    # cold persistent cache (relay/libtpu restarts invalidate it between
+    # sessions) a single timed call measures compiles, not the kernel
+    # (3 vs 564 Kmut/s across two sessions of the same code)
+    render_mlt(scene, chains=chains, mutations=muts, n_init=4096, seed=0)
     t0 = time.perf_counter()
     img = render_mlt(scene, chains=chains, mutations=muts, n_init=4096,
                      seed=0)[..., :3]
@@ -295,7 +320,7 @@ def smoke_mlt():
     ok = (np.isfinite(img).all() and img.max() > 0.3
           and left[0] > left[2] and right[1] > right[0] and rok)
     check("mlt", ok, f"64x64 block: mean {img.mean():.3f}, walls "
-          f"r/g ok, {rdet} incl warmup")
+          f"r/g ok, {rdet} warm")
 
 
 ALL = {"compact": smoke_compact, "stream": smoke_stream,
