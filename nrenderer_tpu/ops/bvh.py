@@ -343,6 +343,16 @@ class BlockedTris(NamedTuple):
     # traced when the accel itself is a jit argument, which the engine
     # select treats as "fall back to the VPU sweep"
     mxu_center: tuple = None
+    # front-to-back block orders (8, n_blocks) int32: row o = block visit
+    # order ascending along direction octant o (bit 2/1/0 = d.x/y/z > 0).
+    # Visiting blocks near-to-far makes the sweep's existing
+    # `t_near < t_best` box cull an EARLY EXIT: once a tile's rays have
+    # hits, farther blocks fail the cull wholesale — what the reference's
+    # ordered BVH descent buys (`acc/include/BVH.hpp:141-154`).  Winner
+    # results are order-independent except exact-t ties, so this rides
+    # behind NR_MESH_F2B (the bit-exact natural order stays the default
+    # for the parity tests).
+    f2b_ord: jnp.ndarray = None
 
     @property
     def block(self) -> int:
@@ -446,6 +456,14 @@ def pack_blocked_triangles(scene_arrays, mat_channels,
     coef = coef.reshape(n_blocks, block, 4, 16).transpose(
         0, 2, 1, 3).reshape(n_blocks, 4 * block, 16)
 
+    # per-octant front-to-back block orders (see BlockedTris.f2b_ord)
+    cent = (mn + mx) * 0.5
+    f2b = np.zeros((8, n_blocks), np.int32)
+    for o in range(8):
+        s = np.array([1.0 if o & 4 else -1.0, 1.0 if o & 2 else -1.0,
+                      1.0 if o & 1 else -1.0], np.float32)
+        f2b[o] = np.argsort(cent @ s, kind="stable").astype(np.int32)
+
     return BlockedTris(
         v1x=blk(v1[:, 0]), v1y=blk(v1[:, 1]), v1z=blk(v1[:, 2]),
         e1x=blk(e1[:, 0]), e1y=blk(e1[:, 1]), e1z=blk(e1[:, 2]),
@@ -458,7 +476,8 @@ def pack_blocked_triangles(scene_arrays, mat_channels,
         sb_min=_put(np.asarray(sb_mn, np.float32)),
         sb_max=_put(np.asarray(sb_mx, np.float32)),
         mxu_coef=_put(coef),
-        mxu_center=tuple(float(c) for c in center), **uv_kw)
+        mxu_center=tuple(float(c) for c in center),
+        f2b_ord=_put(f2b), **uv_kw)
 
 
 class MeshAccel(NamedTuple):

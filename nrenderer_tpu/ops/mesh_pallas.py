@@ -71,7 +71,7 @@ LANES = 128
 
 def sweep_tile(bbmin_ref, bbmax_ref, tri_refs, o, d, tcap, *,
                n_blocks: int, b: int, t_min: float, uv_refs=None,
-               sub_refs=None, n_sub: int = 1):
+               sub_refs=None, n_sub: int = 1, ord_ref=None):
     """Blocked closest-triangle sweep over ONE ray tile, inside a Pallas
     kernel.  `tri_refs` = the 14 (n_blocks, b) VMEM-resident tables
     (v1, e1, e2, n, mat, pid); `bbmin/bbmax` the (n_blocks, 3) block AABBs
@@ -98,7 +98,18 @@ def sweep_tile(bbmin_ref, bbmax_ref, tri_refs, o, d, tcap, *,
     inv_dy = 1.0 / jnp.where(jnp.abs(dy) < 1e-20, 1e-20, dy)
     inv_dz = 1.0 / jnp.where(jnp.abs(dz) < 1e-20, 1e-20, dz)
 
-    def blk_body(blk, carry):
+    if ord_ref is not None:
+        # front-to-back visit order for this tile's MAJORITY direction
+        # octant (exact for octant-pure sorted tiles; merely approximate
+        # order — still correct results — for mixed tiles): with blocks
+        # near-to-far, the `t_near < t_best` cull below becomes an early
+        # exit once rays have found hits
+        oct_ = ((jnp.sum(dx) > 0).astype(jnp.int32) * 4
+                + (jnp.sum(dy) > 0).astype(jnp.int32) * 2
+                + (jnp.sum(dz) > 0).astype(jnp.int32))
+
+    def blk_body(step, carry):
+        blk = ord_ref[oct_, step] if ord_ref is not None else step
         t_best = carry[0]
         # slab test vs this block's AABB (scalars from SMEM); rays whose
         # best hit so far (dense prim, earlier triangle, or a dead ray's
@@ -247,7 +258,8 @@ def sweep_tile(bbmin_ref, bbmax_ref, tri_refs, o, d, tcap, *,
 
 def sweep_tile_mxu(bbmin_ref, bbmax_ref, coef_ref, shade_rows, o, d, tcap,
                    *, n_blocks: int, b: int, t_min: float, center,
-                   sub_m: int):
+                   sub_m: int, lanes: int = LANES,
+                   prec=jax.lax.Precision.HIGHEST):
     """MXU variant of `sweep_tile` (VERDICT r4 #1): the per-block
     Moller-Trumbore test is a `(4B,16)@(16,128)` matmul per ray row against
     host-precomputed bilinear coefficients (`BlockedTris.mxu_coef`), so the
@@ -277,7 +289,7 @@ def sweep_tile_mxu(bbmin_ref, bbmax_ref, coef_ref, shade_rows, o, d, tcap,
     inv_dy = 1.0 / jnp.where(jnp.abs(dy) < 1e-20, 1e-20, dy)
     inv_dz = 1.0 / jnp.where(jnp.abs(dz) < 1e-20, 1e-20, dz)
     ox, oy, oz = o.x, o.y, o.z
-    iota = jax.lax.broadcasted_iota(jnp.int32, (b, LANES), 0)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (b, lanes), 0)
 
     def blk_body(blk, carry):
         t_best = carry[0]
@@ -304,11 +316,11 @@ def sweep_tile_mxu(bbmin_ref, bbmax_ref, coef_ref, shade_rows, o, d, tcap,
             chs = shade_rows(blk)      # (5, b): nx, ny, nz, mat, pid
             rows = []                  # per-row (t, idx, nx, ny, nz, mat)
             for m in range(sub_m):
-                # HIGHEST: the TPU default matmul precision is bf16-ish,
-                # whose 8 mantissa bits break the eps/boundary tests (and
-                # the pid extraction outright: 5000 rounds to +-16)
-                C = jnp.dot(A, feats[m], precision=jax.lax.Precision.HIGHEST,
-                            preferred_element_type=jnp.float32)  # (4b, 128)
+                # never below HIGH: the TPU default matmul precision is
+                # bf16, whose 8 mantissa bits break the eps/boundary
+                # tests (and the pid extraction outright: 5000 -> +-16)
+                C = jnp.dot(A, feats[m], precision=prec,
+                            preferred_element_type=jnp.float32)  # (4b, L)
                 det = C[0 * b:1 * b]
                 u = C[1 * b:2 * b]
                 v = C[2 * b:3 * b]
@@ -334,7 +346,9 @@ def sweep_tile_mxu(bbmin_ref, bbmax_ref, coef_ref, shade_rows, o, d, tcap,
                 eq = wmask == wmin[None, :]
                 iwin = jnp.min(jnp.where(eq, iota, jnp.int32(b)), axis=0)
                 fm = ((iota == iwin[None, :]) & eq).astype(jnp.float32)
-                ext = jnp.dot(chs, fm, precision=jax.lax.Precision.HIGHEST,
+                # HIGH is exact here: fm is one-hot 0/1 and bf16x3 carries
+                # the full 24-bit f32 mantissa of the channel values
+                ext = jnp.dot(chs, fm, precision=jax.lax.Precision.HIGH,
                               preferred_element_type=jnp.float32)
                 rows.append((jnp.where(valid, wmin, t_best[m]),
                              jnp.where(valid, ext[4], idx_best[m]),
@@ -362,8 +376,8 @@ def _sweep_kernel_mxu(nvalid_ref, bbmin_ref, bbmax_ref, coef_ref,
                       tcap_ref, nx_ref, ny_ref, nz_ref, mat_ref, pid_ref,
                       t_out, idx_out, nx_out, ny_out, nz_out, mat_out, *,
                       n_blocks: int, b: int, t_min: float, center,
-                      sub_m: int):
-    base = pl.program_id(0) * (sub_m * LANES)
+                      rows: int, lanes: int, prec):
+    base = pl.program_id(0) * (rows * lanes)
     o = V3(ox_ref[0], oy_ref[0], oz_ref[0])
     d = V3(dx_ref[0], dy_ref[0], dz_ref[0])
     tcap = tcap_ref[0]
@@ -372,14 +386,15 @@ def _sweep_kernel_mxu(nvalid_ref, bbmin_ref, bbmax_ref, coef_ref,
         return jnp.stack([nx_ref[blk], ny_ref[blk], nz_ref[blk],
                           mat_ref[blk], pid_ref[blk]])
 
-    zeros = jnp.zeros((sub_m, LANES), jnp.float32)
-    init = (tcap, jnp.full((sub_m, LANES), -1.0, jnp.float32),
+    zeros = jnp.zeros((rows, lanes), jnp.float32)
+    init = (tcap, jnp.full((rows, lanes), -1.0, jnp.float32),
             zeros, zeros, zeros, zeros)
     out = jax.lax.cond(
         base < nvalid_ref[0],
         lambda c: sweep_tile_mxu(bbmin_ref, bbmax_ref, coef_ref, shade_rows,
                                  o, d, tcap, n_blocks=n_blocks, b=b,
-                                 t_min=t_min, center=center, sub_m=sub_m),
+                                 t_min=t_min, center=center, sub_m=rows,
+                                 lanes=lanes, prec=prec),
         lambda c: c, init)
     t_best, idx_best, nx_best, ny_best, nz_best, mat_best = out
 
@@ -393,11 +408,15 @@ def _sweep_kernel_mxu(nvalid_ref, bbmin_ref, bbmax_ref, coef_ref,
 
 @functools.lru_cache(maxsize=64)
 def _build_sweep_mxu(n_tiles: int, n_blocks: int, b: int, t_min: float,
-                     interpret: bool, sub_m: int, center):
+                     interpret: bool, rows: int, lanes: int, center,
+                     prec_name: str = "highest"):
+    prec = (jax.lax.Precision.HIGH if prec_name == "high"
+            else jax.lax.Precision.HIGHEST)
     kernel = functools.partial(_sweep_kernel_mxu, n_blocks=n_blocks, b=b,
-                               t_min=t_min, center=center, sub_m=sub_m)
-    ray_shape = jax.ShapeDtypeStruct((n_tiles, sub_m, LANES), jnp.float32)
-    ray_block = pl.BlockSpec((1, sub_m, LANES), lambda i: (i, 0, 0),
+                               t_min=t_min, center=center, rows=rows,
+                               lanes=lanes, prec=prec)
+    ray_shape = jax.ShapeDtypeStruct((n_tiles, rows, lanes), jnp.float32)
+    ray_block = pl.BlockSpec((1, rows, lanes), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM)
     tri_spec = pl.BlockSpec(memory_space=pltpu.VMEM)  # resident, unblocked
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -418,13 +437,13 @@ def _build_sweep_mxu(n_tiles: int, n_blocks: int, b: int, t_min: float,
 
 
 def _sweep_kernel(nvalid_ref, bbmin_ref, bbmax_ref, sbmin_ref, sbmax_ref,
-                  ox_ref, oy_ref, oz_ref,
+                  ord_ref, ox_ref, oy_ref, oz_ref,
                   dx_ref, dy_ref, dz_ref, tcap_ref, v1x_ref, v1y_ref,
                   v1z_ref, e1x_ref, e1y_ref, e1z_ref, e2x_ref, e2y_ref,
                   e2z_ref, nx_ref, ny_ref, nz_ref, mat_ref, pid_ref,
                   t_out, idx_out, nx_out, ny_out, nz_out, mat_out, *,
                   n_blocks: int, b: int, t_min: float, n_sub: int,
-                  sub_m: int):
+                  sub_m: int, f2b: bool):
     base = pl.program_id(0) * (sub_m * LANES)
     tri_refs = (v1x_ref, v1y_ref, v1z_ref, e1x_ref, e1y_ref, e1z_ref,
                 e2x_ref, e2y_ref, e2z_ref, nx_ref, ny_ref, nz_ref,
@@ -441,7 +460,8 @@ def _sweep_kernel(nvalid_ref, bbmin_ref, bbmax_ref, sbmin_ref, sbmax_ref,
         base < nvalid_ref[0],
         lambda c: sweep_tile(bbmin_ref, bbmax_ref, tri_refs, o, d, tcap,
                              n_blocks=n_blocks, b=b, t_min=t_min,
-                             sub_refs=sub_refs, n_sub=n_sub),
+                             sub_refs=sub_refs, n_sub=n_sub,
+                             ord_ref=ord_ref if f2b else None),
         lambda c: c, init)
     t_best, idx_best, nx_best, ny_best, nz_best, mat_best = out
 
@@ -455,9 +475,11 @@ def _sweep_kernel(nvalid_ref, bbmin_ref, bbmax_ref, sbmin_ref, sbmax_ref,
 
 @functools.lru_cache(maxsize=64)
 def _build_sweep(n_tiles: int, n_blocks: int, b: int, t_min: float,
-                 interpret: bool, n_sub: int = 1, sub_m: int = 32):
+                 interpret: bool, n_sub: int = 1, sub_m: int = 32,
+                 f2b: bool = False):
     kernel = functools.partial(_sweep_kernel, n_blocks=n_blocks, b=b,
-                               t_min=t_min, n_sub=n_sub, sub_m=sub_m)
+                               t_min=t_min, n_sub=n_sub, sub_m=sub_m,
+                               f2b=f2b)
     ray_shape = jax.ShapeDtypeStruct((n_tiles, sub_m, LANES), jnp.float32)
     ray_block = pl.BlockSpec((1, sub_m, LANES), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM)
@@ -465,21 +487,22 @@ def _build_sweep(n_tiles: int, n_blocks: int, b: int, t_min: float,
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
 
     @jax.jit
-    def run(n_valid, bb_min, bb_max, sb_min, sb_max, rays, tris):
+    def run(n_valid, bb_min, bb_max, sb_min, sb_max, f2b_ord, rays, tris):
         return pl.pallas_call(
             kernel,
             grid=(n_tiles,),
-            in_specs=[smem] * 5 + [ray_block] * 7 + [tri_spec] * 14,
+            in_specs=[smem] * 6 + [ray_block] * 7 + [tri_spec] * 14,
             out_shape=(ray_shape,) * 6,
             out_specs=(ray_block,) * 6,
             interpret=interpret,
-        )(n_valid, bb_min, bb_max, sb_min, sb_max, *rays, *tris)
+        )(n_valid, bb_min, bb_max, sb_min, sb_max, f2b_ord, *rays, *tris)
 
     return run
 
 
 def sweep_mesh_full(bt: BlockedTris, o: V3, d: V3, t_min: float,
-                    t_cap=None, n_valid=None, interpret: bool = None):
+                    t_cap=None, n_valid=None, interpret: bool = None,
+                    f2b: bool = None):
     """Closest-triangle sweep for a component-SoA ray batch on the Pallas
     kernel.  `t_cap`: optional per-ray upper bound (e.g. the dense-prim hit
     distance, or 0 for rays to skip entirely) — hits at or beyond it are
@@ -533,11 +556,22 @@ def sweep_mesh_full(bt: BlockedTris, o: V3, d: V3, t_min: float,
         except Exception:
             center = None
         if center is not None:
-            run = _build_sweep_mxu(n_tiles, int(bt.v1x.shape[0]),
-                                   int(bt.block), float(t_min),
-                                   bool(interpret), sub_m, center)
+            # G lane-rows share one matmul: the (rows, lanes) view of the
+            # 4096-ray tile is the SAME memory layout ((32,128) ->
+            # (8,512) is a free reinterpretation outside the kernel), and
+            # (4B,16)@(16,512) amortizes the MXU's per-matmul overhead
+            # 4x over (16,128) panes
+            g = max(1, int(os.environ.get("NR_MESH_MXU_G", "4")))
+            g = min(g, sub_m)
+            rows_m, lanes_m = sub_m // g, LANES * g
+            rays_m = tuple(r.reshape(n_tiles, rows_m, lanes_m)
+                           for r in rays)
+            run = _build_sweep_mxu(
+                n_tiles, int(bt.v1x.shape[0]), int(bt.block), float(t_min),
+                bool(interpret), rows_m, lanes_m, center,
+                os.environ.get("NR_MESH_MXU_PREC", "highest"))
             outs = run(jnp.asarray(n_valid, jnp.int32).reshape(1),
-                       bt.bb_min, bt.bb_max, bt.mxu_coef, rays,
+                       bt.bb_min, bt.bb_max, bt.mxu_coef, rays_m,
                        (bt.nx, bt.ny, bt.nz, bt.mat, bt.pid))
             t, idx, nx, ny, nz, mat = (a.reshape(-1)[:n] for a in outs)
             return t, idx.astype(jnp.int32), nx, ny, nz, mat
@@ -552,10 +586,21 @@ def sweep_mesh_full(bt: BlockedTris, o: V3, d: V3, t_min: float,
     else:
         n_sub = int(sb_min.shape[1])
 
+    # front-to-back visit order: with the existing `t_near < t_best` box
+    # cull, near-to-far blocks let rays that found hits skip all farther
+    # blocks (~5% on the real bunny chain, free).  Callers pass True
+    # (renders, via intersect_triangles_mesh) or leave None = NR_MESH_F2B
+    # env, default OFF — order changes which tri wins EXACT-t ties, so
+    # direct-call bit-parity tests hold only on the natural order.
+    if f2b is None:
+        f2b = os.environ.get("NR_MESH_F2B", "0") == "1"
+    f2b = bool(f2b) and bt.f2b_ord is not None
+    f2b_ord = (bt.f2b_ord if bt.f2b_ord is not None
+               else jnp.zeros((8, 1), jnp.int32))
     run = _build_sweep(n_tiles, int(bt.v1x.shape[0]), int(bt.block),
-                       float(t_min), bool(interpret), n_sub, sub_m)
+                       float(t_min), bool(interpret), n_sub, sub_m, f2b)
     outs = run(jnp.asarray(n_valid, jnp.int32).reshape(1),
-               bt.bb_min, bt.bb_max, sb_min, sb_max, rays, tris)
+               bt.bb_min, bt.bb_max, sb_min, sb_max, f2b_ord, rays, tris)
     t, idx, nx, ny, nz, mat = (a.reshape(-1)[:n] for a in outs)
     return t, idx.astype(jnp.int32), nx, ny, nz, mat
 
@@ -594,7 +639,8 @@ MESH_COMPACT_MIN = 64 * 1024  # below this wavefront size, skip compaction
 
 def intersect_triangles_mesh(ma: MeshAccel, o: V3, d: V3, t_min: float,
                              t_dense, mat_channels, alive=None,
-                             interpret: bool = None, cap: int = None):
+                             interpret: bool = None, cap: int = None,
+                             sort: bool = None):
     """Mesh intersection for a full wavefront on the Pallas sweep engine.
 
     `t_dense`: the already-found dense-primitive hit distance per ray
@@ -637,6 +683,9 @@ def intersect_triangles_mesh(ma: MeshAccel, o: V3, d: V3, t_min: float,
         t_cap = jnp.where(alive, t_cap, 0.0)
     n = o.x.shape[0]
     compact = os.environ.get("NR_MESH_COMPACT", "1") != "0"
+    # renders run the front-to-back block order by default (free ~5% on
+    # the real chain); NR_MESH_F2B=0 restores the natural preorder
+    f2b = os.environ.get("NR_MESH_F2B", "1") != "0"
     if cap is None:
         frac = int(os.environ.get("NR_MESH_COMPACT_FRACTION",
                                   str(MESH_COMPACT_FRACTION)))
@@ -645,7 +694,8 @@ def intersect_triangles_mesh(ma: MeshAccel, o: V3, d: V3, t_min: float,
     if n < MESH_COMPACT_MIN or (compact and cap >= n):
         t, idx, nx, ny, nz, mat = sweep_mesh_full(ma.bt, o, d, t_min,
                                                   t_cap=t_cap,
-                                                  interpret=interpret)
+                                                  interpret=interpret,
+                                                  f2b=f2b)
         miss = idx < 0
         chans = _channels_from_mat(mat, miss, mat_channels)
         pid = jnp.where(miss, -1.0, idx.astype(jnp.float32))
@@ -675,7 +725,7 @@ def intersect_triangles_mesh(ma: MeshAccel, o: V3, d: V3, t_min: float,
 
     if not compact:
         t, idx, nxs, nys, nzs, mat = sweep_mesh_full(
-            ma.bt, o, d, t_min, t_cap=t_cap, interpret=interpret)
+            ma.bt, o, d, t_min, t_cap=t_cap, interpret=interpret, f2b=f2b)
         miss = idx < 0
         chans = _channels_from_mat(mat, miss, mat_channels)
         pid = jnp.where(miss, -1.0, idx.astype(jnp.float32))
@@ -698,7 +748,7 @@ def intersect_triangles_mesh(ma: MeshAccel, o: V3, d: V3, t_min: float,
     if pack_mode == "row":
         if n % LANES == 0:
             return _row_packed_sweep(ma, o, d, t_min, t_cap, m, cap,
-                                     mat_channels, interpret)
+                                     mat_channels, interpret, f2b)
         pack_mode = "shift"  # row granularity needs whole 128-lane rows
     # "stream" = the single-pass Pallas streaming compactor
     # (ops/stream_compact.py): each channel is read ONCE and the packed
@@ -719,8 +769,17 @@ def intersect_triangles_mesh(ma: MeshAccel, o: V3, d: V3, t_min: float,
     # more than the residual divergence.  Kept behind NR_MESH_SORT=1 for
     # scenes whose wavefronts genuinely shuffle (synthetic ray sets,
     # secondary-bounce-heavy geometry).
-    sort_rays = (pack_mode == "shift"
-                 and os.environ.get("NR_MESH_SORT", "0") != "0")
+    # `sort`: explicit override of the NR_MESH_SORT default — the staged
+    # wavefront passes False for the PEELED camera bounce (pixel-coherent
+    # rays gain nothing from the entry-cell sort but pay its largest
+    # window: the r4 numbers are 36.6 ms sweep + ~48 ms sorts sorted vs
+    # 54.5 ms sweep unsorted at bounce 0)
+    def _sort_on(env_default):
+        if sort is not None:
+            return sort
+        return os.environ.get("NR_MESH_SORT", env_default) != "0"
+
+    sort_rays = pack_mode == "shift" and _sort_on("0")
 
     # NR_MESH_CELL_Q: per-axis quantization of the box-entry cell (key =
     # cell * 8 + direction octant).  Default 2 (r5-measured sweet spot on
@@ -777,7 +836,7 @@ def intersect_triangles_mesh(ma: MeshAccel, o: V3, d: V3, t_min: float,
             interpret=interpret)
         oc = V3(sp.packed[0], sp.packed[1], sp.packed[2])
         dc = V3(sp.packed[3], sp.packed[4], sp.packed[5])
-        if os.environ.get("NR_MESH_SORT", "1") != "0":
+        if _sort_on("1"):
             # entry-cell sort of the COMPACTED buffer (stream-engine
             # DEFAULT; bunny-5k 9.1 -> 7.6 s): mid-chain bounce
             # wavefronts scatter (r4 chain_trace: sweep 54.5 ms at the
@@ -825,7 +884,8 @@ def intersect_triangles_mesh(ma: MeshAccel, o: V3, d: V3, t_min: float,
                 (key, oc.x, oc.y, oc.z, dc.x, dc.y, dc.z, tc, pslot))
             oc, dc = V3(ox, oy, oz), V3(dx, dy, dz)
             t, idx, nxs, nys, nzs, mat = sweep_mesh_full(
-                ma.bt, oc, dc, t_min, t_cap=tcs, interpret=interpret)
+                ma.bt, oc, dc, t_min, t_cap=tcs, interpret=interpret,
+                f2b=f2b)
             # unsort: p_carried is a permutation — a unique-key sort over
             # the SAME window restores pack-slot order for the streaming
             # unpack (slots past the window were never moved)
@@ -835,7 +895,7 @@ def intersect_triangles_mesh(ma: MeshAccel, o: V3, d: V3, t_min: float,
         else:
             t, idx, nxs, nys, nzs, mat = sweep_mesh_full(
                 ma.bt, oc, dc, t_min, t_cap=sp.packed[6],
-                n_valid=sp.n_valid, interpret=interpret)
+                n_valid=sp.n_valid, interpret=interpret, f2b=f2b)
         if fold:
             code = jnp.where(idx >= 0,
                              mat * 131072.0 + idx.astype(jnp.float32),
@@ -879,7 +939,7 @@ def intersect_triangles_mesh(ma: MeshAccel, o: V3, d: V3, t_min: float,
             oc, dc, tc_cap = V3(ox, oy, oz), V3(dx, dy, dz), tcc
         t, idx, nxs, nys, nzs, mat = sweep_mesh_full(
             ma.bt, oc, dc, t_min, t_cap=tc_cap, n_valid=n_hit,
-            interpret=interpret)
+            interpret=interpret, f2b=f2b)
         if sort_rays:
             # unsort: p_carried is a permutation of [0, cap) — a second
             # unique-key sort restores pack-slot order for the unpack
@@ -918,7 +978,7 @@ def intersect_triangles_mesh(ma: MeshAccel, o: V3, d: V3, t_min: float,
 
     def full_sweep(_):
         return sweep_mesh_full(ma.bt, o, d, t_min, t_cap=t_cap,
-                               interpret=interpret)
+                               interpret=interpret, f2b=f2b)
 
     if pack_mode == "stream":
         # the stream pack claims ceil(max_col_cnt/8)*8 rows per tile —
@@ -937,7 +997,7 @@ def intersect_triangles_mesh(ma: MeshAccel, o: V3, d: V3, t_min: float,
 
 
 def _row_packed_sweep(ma: MeshAccel, o: V3, d: V3, t_min: float, t_cap,
-                      m, cap: int, mat_channels, interpret):
+                      m, cap: int, mat_channels, interpret, f2b=False):
     """Row-granular mesh compaction: pack whole 128-lane ROWS that contain
     at least one AABB-hitting ray, sweep the packed buffer, scatter rows
     back.  TPU row gathers (jnp.take along axis 0 of an (R, 128) view)
@@ -972,7 +1032,7 @@ def _row_packed_sweep(ma: MeshAccel, o: V3, d: V3, t_min: float, t_cap,
         # the clip-duplicated tail rows
         t, idx, nxs, nys, nzs, mat = sweep_mesh_full(
             ma.bt, oc, dc, t_min, t_cap=tcc, n_valid=n_live_rows * LANES,
-            interpret=interpret)
+            interpret=interpret, f2b=f2b)
         scat = lambda init, vals: init.reshape(rows, LANES).at[rix].set(
             vals.reshape(cap_rows, LANES), mode="drop",
             indices_are_sorted=True, unique_indices=True).reshape(n)
@@ -985,7 +1045,7 @@ def _row_packed_sweep(ma: MeshAccel, o: V3, d: V3, t_min: float, t_cap,
 
     def full_sweep(_):
         return sweep_mesh_full(ma.bt, o, d, t_min, t_cap=t_cap,
-                               interpret=interpret)
+                               interpret=interpret, f2b=f2b)
 
     t, idx, nxs, nys, nzs, mat = jax.lax.cond(
         n_live_rows > cap_rows, full_sweep, packed, operand=None)

@@ -109,7 +109,7 @@ def onb_local(normal: V3, vec: V3) -> V3:
 
 def closest_hit(ss: StaticScene, o: V3, d: V3, t_min: float, mat_channels,
                 tri_bvh=None, alive=None, with_uv: bool = False,
-                unique_pids: bool = False):
+                unique_pids: bool = False, coherent: bool = False):
     """Closest hit: unrolled constant-folded brute force, with the triangle
     pool optionally routed through a flattened BVH walk (`tri_bvh` =
     (FlatBVH, TrianglePack), used by the renderers when the mesh-expanded
@@ -162,8 +162,11 @@ def closest_hit(ss: StaticScene, o: V3, d: V3, t_min: float, mat_channels,
         # Pallas sweep engine: VMEM-resident carry, in-kernel block culling
         assert not with_uv, "UVs not carried through the Pallas mesh sweep"
         from .mesh_pallas import intersect_triangles_mesh
+        # `coherent`: pixel-coherent camera rays skip the entry-cell sort
+        # (already tile-coherent; the sort would run at its LARGEST window)
         tb, nxb, nyb, nzb, matb, pidb, chb = intersect_triangles_mesh(
-            tri_bvh, o, d, t_min, hit.t, mat_channels, alive=alive)
+            tri_bvh, o, d, t_min, hit.t, mat_channels, alive=alive,
+            sort=False if coherent else None)
     elif isinstance(tri_bvh, BlockedTris):
         out = _blocked_compacted(tri_bvh, o, d, t_min, hit.t,
                                  with_uv=with_uv)
@@ -573,16 +576,19 @@ def make_mat_channels(ss: StaticScene):
 
 def bsdf_bounce(ss: StaticScene, mat_ch, o: V3, d: V3, throughput: V3,
                 radiance: V3, alive, u1, u2, u3, t_min: float = 1e-6,
-                tri_bvh=None, with_miss: bool = False, textures=None
+                tri_bvh=None, with_miss: bool = False, textures=None,
+                coherent: bool = False
                 ) -> Tuple[V3, V3, V3, V3, jnp.ndarray]:
     """One bounce of the AccPathTracer estimator
     (`AccPathTracer.cpp:120-181`): closest hit, light hit, then branchless
     dispatch over material type {0 Lambertian, 1 conductor, 2 glass,
     3 microfacet} (`acc/include/shaders/ShaderCreator.hpp:17-39`).
     `with_miss`: also return the env-candidate miss mask (see
-    diffuse_bounce); `textures`: diffuseMap sampling (see diffuse_bounce)."""
+    diffuse_bounce); `textures`: diffuseMap sampling (see diffuse_bounce);
+    `coherent`: rays are pixel-coherent (camera bounce) — the mesh sweep
+    skips its entry-cell sort."""
     hit = closest_hit(ss, o, d, t_min, mat_ch, tri_bvh, alive=alive,
-                      with_uv=bool(textures))
+                      with_uv=bool(textures), coherent=coherent)
     t_l, light_rad = intersect_area_lights_unrolled(ss, o, d, t_min=t_min)
 
     obj_first = alive & hit.valid & (hit.t < t_l)

@@ -39,7 +39,8 @@ def stage_plan(depth: int):
 def build_staged_wavefront_fn(width: int, height: int, spp: int, chunk: int,
                               has_lens: bool, bounce_fn: Callable,
                               finish_fn: Callable, depth: int,
-                              linear: bool = False) -> Callable:
+                              linear: bool = False,
+                              peel_first: bool = False) -> Callable:
     """Film loop with WAVEFRONT COMPACTION: as rays die, the whole ray
     state (o, d, throughput, radiance, pixel id) is packed into smaller
     static buffers at scheduled bounce boundaries, so the per-bounce cost
@@ -129,8 +130,21 @@ def build_staged_wavefront_fn(width: int, height: int, spp: int, chunk: int,
                 return bounce_fn(o, d, thr, rad, alive, kb, env_map,
                                  tri_bvh, textures), None
 
+            if peel_first and depth > 1:
+                # camera bounce peeled out of the stage-0 scan so it can
+                # run as the COHERENT variant (the mesh sweep's entry-cell
+                # sort is pure cost on pixel-ordered rays and would run at
+                # its largest window here); same fold_in(k_path, 0) stream,
+                # and sorted/unsorted sweeps are bitwise-identical per ray,
+                # so the film is unchanged
+                o, d, thr, rad, alive = bounce_fn(
+                    o, d, thr, rad, alive, jax.random.fold_in(k_path, 0),
+                    env_map, tri_bvh, textures, coherent=True)
+
             for si, (b0, shrink) in enumerate(plan):
                 b1 = plan[si + 1][0] if si + 1 < len(plan) else depth
+                if si == 0 and peel_first and depth > 1:
+                    b0 = 1
                 if si > 0 and pack_mode == "stream":
                     # ---- bank via the expansion chain, then RR-pack ----
                     n_cur = o.x.shape[0]

@@ -117,7 +117,8 @@ def build_render_fn(ss: StaticScene, width: int, height: int, spp: int,
         mat_ch = make_mat_channels(ss)
         t_min = scene_epsilon(ss, T_MIN_PT)
 
-        def bounce(o, d, thr, rad, alive, kb, env_map, tri_bvh, textures):
+        def bounce(o, d, thr, rad, alive, kb, env_map, tri_bvh, textures,
+                   coherent=False):
             n = o.x.shape[0]
             k1, k2, k3 = jax.random.split(kb, 3)
             u1 = jax.random.uniform(k1, (n,))
@@ -127,7 +128,7 @@ def build_render_fn(ss: StaticScene, width: int, height: int, spp: int,
                 o, d, thr, rad, alive, miss = bsdf_bounce(
                     ss, mat_ch, o, d, thr, rad, alive, u1, u2, u3,
                     t_min=t_min, tri_bvh=tri_bvh, with_miss=True,
-                    textures=textures)
+                    textures=textures, coherent=coherent)
                 env = sample_env_map_v3(env_map, d)
                 ew = miss.astype(o.x.dtype)
                 rad = V3(rad.x + ew * thr.x * env.x,
@@ -136,15 +137,19 @@ def build_render_fn(ss: StaticScene, width: int, height: int, spp: int,
             else:
                 o, d, thr, rad, alive = bsdf_bounce(
                     ss, mat_ch, o, d, thr, rad, alive, u1, u2, u3,
-                    t_min=t_min, tri_bvh=tri_bvh, textures=textures)
+                    t_min=t_min, tri_bvh=tri_bvh, textures=textures,
+                    coherent=coherent)
             return o, d, thr, rad, alive
 
         def finish(thr, rad, alive):
             return finish_ambient(ss, thr, rad, alive)
 
+        # peel_first: the camera bounce runs outside the stage-0 scan as
+        # the coherent (sort-free) variant — only worth the extra program
+        # size on the mesh path, where the sweep sort exists
         return build_staged_wavefront_fn(width, height, spp, chunk,
                                          has_lens, bounce, finish, depth,
-                                         linear=linear)
+                                         linear=linear, peel_first=use_bvh)
 
     def trace(o, d, key, env_map, tri_bvh, textures):
         return trace_bsdf_wavefront(
