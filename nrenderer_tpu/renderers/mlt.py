@@ -1218,9 +1218,11 @@ def _finish_mlt(estimate_b, init_chains, run_block, flush_film, key, width,
     # partial film to the Screen after each mutation block — the headless
     # analogue of the reference UI blitting mid-render updates
     # (`ScreenView.cpp:168-178`).  NR_MLT_PREVIEW_BLOCKS=k posts every
-    # k-th block (0 disables); the flush forces the async block pipeline,
-    # so previewing trades a little steady-rate for live feedback.
-    preview_every = int(os.environ.get("NR_MLT_PREVIEW_BLOCKS", "1"))
+    # k-th block; each post flushes the ASYNC block pipeline and fetches
+    # the film to host (measured ~1.6x slower headless steady rate), so
+    # the default is 0 (off) and the CLI sets 1 when `--serve` attaches
+    # a viewer.
+    preview_every = int(os.environ.get("NR_MLT_PREVIEW_BLOCKS", "0"))
 
     n_blocks = max(1, mutations // block)
     for i in range(start, n_blocks):
