@@ -41,14 +41,14 @@ FAILED = []
 # or engine default changes).  The regression bar is 0.7x the recorded
 # rate (VERDICT r4 #9): a failure names the kernel AND prints measured
 # vs recorded, so "what regressed and by how much" is one line.
-RECORDED = {
-    "compact": 1208.0,   # Mlane/s, 1M-lane pack+unpack
-    "stream": 79.0,      # Mlane/s, 2M-lane streaming pack+unpack
-    "mesh": 2.4,         # Mray/s, 256k box-interior rays (union-saturated)
-    "pt": 1344.0,        # spp/s, 128^2 x 256spp x depth8 megakernel
-    "glass": 331.0,      # spp/s, 128^2 x 128spp x depth12 BSDF kernel
-    "env": 1166.0,       # spp/s, 128^2 x 64spp x depth8 in-kernel env
-    "mlt": 564.0,        # Kmut/s, 1024x64 block incl first-block warmup
+RECORDED = {  # re-recorded late r5 on the dispatch-robust check forms
+    "compact": 1000.0,   # Mlane/s, 1M-lane pack+unpack (K-delta rate)
+    "stream": 84.0,      # Mlane/s, 2M-lane streaming pack+unpack
+    "mesh": 8.0,         # Mray/s, 256k box-interior rays (union-saturated)
+    "pt": 4000.0,        # spp/s, 128^2 x 1024spp x depth8 megakernel
+    "glass": 430.0,      # spp/s, 128^2 x 128spp x depth12 BSDF kernel
+    "env": 1100.0,       # spp/s, 128^2 x 256spp x depth6 in-kernel env
+    "mlt": 1570.0,       # Kmut/s, 1024x512 block, warm
 }
 BAR_FRAC = 0.7
 
@@ -101,32 +101,36 @@ def smoke_compact():
                                         (jnp.zeros((n,)),), ridx=ridx)
         return packed, back, n_hit
 
-    # rate is measured on K roundtrips CHAINED inside one lax.scan — a
-    # single 1M-lane roundtrip is ~1 ms of kernel under ~25 ms of axon
-    # relay dispatch, so a per-call rate just measures today's tunnel
-    # latency (it varies per harness session; measured 44 vs 1208
-    # "Mlane/s" for the SAME kernel across two sessions)
-    K = 8
+    # rate from the K2-K1 DELTA of two in-scan repeat counts: a single
+    # 1M-lane roundtrip is ~1 ms of kernel under ~25 ms of axon relay
+    # dispatch, so any single-call rate measures the session tunnel's
+    # latency (44 / 268 / 1208 "Mlane/s" for the SAME kernel across
+    # sessions); the delta cancels dispatch exactly
+    K1, K2 = 4, 20
 
-    @jax.jit
-    def chained(mask, vals):
-        def step(v, _):
-            (p,), ridx, _ = shift_pack_channels(mask, (v,), cap)
-            (b,) = shift_unpack_channels(mask, (p,), (jnp.zeros((n,)),),
-                                         ridx=ridx)
-            return b + 1e-7, None  # depend on the result: no hoisting
-        out, _ = jax.lax.scan(step, vals, xs=None, length=K)
-        return out
+    def chained(k):
+        @jax.jit
+        def fn(mask, vals):
+            def step(v, _):
+                (p,), ridx, _ = shift_pack_channels(mask, (v,), cap)
+                (b,) = shift_unpack_channels(
+                    mask, (p,), (jnp.zeros((n,)),), ridx=ridx)
+                return b + 1e-7, None  # depend on the result: no hoisting
+            out, _ = jax.lax.scan(step, vals, xs=None, length=k)
+            return out
+        return fn
 
     packed, back, n_hit = roundtrip(mask, vals)
-    _, dt = timed(chained, mask, vals)
+    _, dt1 = timed(chained(K1), mask, vals)
+    _, dt2 = timed(chained(K2), mask, vals)
     m = np.asarray(mask)
     want = np.asarray(vals)[m][:cap]
     got = np.asarray(packed)[:int(n_hit)]
     ok = (got.shape == want.shape and np.array_equal(got, want)
           and np.array_equal(np.asarray(back)[m][:cap], want)
           and not np.asarray(back)[~m].any())
-    rok, rdet = rate_bar("compact", n * K / dt / 1e6, "Mlane/s")
+    rok, rdet = rate_bar(
+        "compact", n * (K2 - K1) / max(dt2 - dt1, 1e-9) / 1e6, "Mlane/s")
     check("compact", ok and rok, f"1M-lane pack+unpack exact, {rdet}")
 
 
@@ -304,11 +308,13 @@ def smoke_mlt():
     scene.render_option.width = 64
     scene.render_option.height = 64
     scene.render_option.depth = 8
-    chains, muts = 1024, 64
-    # warm render first: the rate bar is on WARM throughput — with a
-    # cold persistent cache (relay/libtpu restarts invalidate it between
-    # sessions) a single timed call measures compiles, not the kernel
-    # (3 vs 564 Kmut/s across two sessions of the same code)
+    # 512 muts/chain: ~0.5 s of kernel so per-block dispatch (session-
+    # dependent, ~25 ms) stays noise.  Warm render first: the rate bar
+    # is on WARM throughput — with a cold persistent cache
+    # (relay/libtpu restarts invalidate it between sessions) a single
+    # timed call measures compiles, not the kernel (3 vs 564 Kmut/s
+    # across two sessions of the same code)
+    chains, muts = 1024, 512
     render_mlt(scene, chains=chains, mutations=muts, n_init=4096, seed=0)
     t0 = time.perf_counter()
     img = render_mlt(scene, chains=chains, mutations=muts, n_init=4096,
