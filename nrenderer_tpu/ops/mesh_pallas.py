@@ -346,9 +346,7 @@ def sweep_tile_mxu(bbmin_ref, bbmax_ref, coef_ref, shade_rows, o, d, tcap,
                 eq = wmask == wmin[None, :]
                 iwin = jnp.min(jnp.where(eq, iota, jnp.int32(b)), axis=0)
                 fm = ((iota == iwin[None, :]) & eq).astype(jnp.float32)
-                # HIGH is exact here: fm is one-hot 0/1 and bf16x3 carries
-                # the full 24-bit f32 mantissa of the channel values
-                ext = jnp.dot(chs, fm, precision=jax.lax.Precision.HIGH,
+                ext = jnp.dot(chs, fm, precision=prec,
                               preferred_element_type=jnp.float32)
                 rows.append((jnp.where(valid, wmin, t_best[m]),
                              jnp.where(valid, ext[4], idx_best[m]),
@@ -410,8 +408,10 @@ def _sweep_kernel_mxu(nvalid_ref, bbmin_ref, bbmax_ref, coef_ref,
 def _build_sweep_mxu(n_tiles: int, n_blocks: int, b: int, t_min: float,
                      interpret: bool, rows: int, lanes: int, center,
                      prec_name: str = "highest"):
-    prec = (jax.lax.Precision.HIGH if prec_name == "high"
-            else jax.lax.Precision.HIGHEST)
+    # Mosaic's dot lowering supports only DEFAULT and HIGHEST; DEFAULT
+    # (bf16) breaks the eps tests and the pid extraction, so HIGHEST is
+    # the only usable precision (prec_name kept for a future Mosaic)
+    prec = jax.lax.Precision.HIGHEST
     kernel = functools.partial(_sweep_kernel_mxu, n_blocks=n_blocks, b=b,
                                t_min=t_min, center=center, rows=rows,
                                lanes=lanes, prec=prec)
